@@ -1,0 +1,118 @@
+"""High-level engine API: the reference's three entry points, Spark-first.
+
+``get_public_transports`` == Parser::get_public_transports (mod.rs:511-527),
+``get_areas`` == Parser::get_areas (mod.rs:580-654), over entity
+DataFrames from any source (PBF, pages extraction, parquet). Output is
+deterministic relative to the reference's thread-nondeterministic
+ordering: callers sort explicitly (the reference's own test sorts too,
+tests/integration_test.rs:7-8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.tagfilter import compile_tag_filter
+from .operators.hydrate import (
+    hydrate_single_ways,
+    hydrate_stops,
+    hydrate_way_nodes,
+    semi_join_ways,
+)
+from .operators.stitch import stitch
+
+_EMPTY_GEOM = "CAST(array() AS ARRAY<ARRAY<STRUCT<lon: DOUBLE, lat: DOUBLE>>>)"
+_EMPTY_SEQ = "CAST(array() AS ARRAY<ARRAY<BIGINT>>)"
+_EMPTY_STOPS = (
+    "CAST(array() AS ARRAY<STRUCT<id: BIGINT, lat: DOUBLE, lon: DOUBLE, "
+    "tags: MAP<STRING,STRING>>>)"
+)
+
+
+def filter_relations(relations: DataFrame, conditions: str) -> DataFrame:
+    """F1 + F3: tag-predicate filter plus drop relations with no way
+    members (mod.rs:253-257)."""
+    return relations.filter(compile_tag_filter(conditions)).filter(
+        F.size("way_refs") > 0
+    )
+
+
+def filter_ways(ways: DataFrame, conditions: str) -> DataFrame:
+    """F2 + F4: tag-predicate filter plus drop ways with no node refs
+    (mod.rs:380-387)."""
+    return ways.filter(compile_tag_filter(conditions)).filter(F.size("refs") > 0)
+
+
+def _finalize(relations: DataFrame, stitched: DataFrame, stops: DataFrame | None):
+    """Join stitch results (and stops) back onto relation metadata.
+
+    LEFT joins: a relation whose member ways all dangled produces no
+    stitch group; the reference's flatten_ways on an empty list yields
+    501 Broken + empty geometry (relation.rs:233-235) — coalesce
+    reproduces that.
+    """
+    out = relations.select("id", "tags", "info").join(
+        stitched.withColumnRenamed("rel_id", "id"), "id", "left"
+    )
+    if stops is not None:
+        out = out.join(stops.withColumnRenamed("rel_id", "id"), "id", "left")
+        out = out.withColumn("stops", F.coalesce("stops", F.expr(_EMPTY_STOPS)))
+    return (
+        out.withColumn("geometry", F.coalesce("geometry", F.expr(_EMPTY_GEOM)))
+        .withColumn("node_seq", F.coalesce("node_seq", F.expr(_EMPTY_SEQ)))
+        .withColumn("status_code", F.coalesce("status_code", F.lit(501)))
+        .withColumn("status_detail", F.coalesce("status_detail", F.lit("Broken")))
+    )
+
+
+def get_public_transports(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    gap_m: float = 150.0,
+    conditions: str | None = None,
+) -> DataFrame:
+    """Route mode (closed=False): one row per relation with stops,
+    multi-linestring geometry (lon,lat), and parse status.
+
+    ``conditions`` optionally applies the F1 tag filter here; pass
+    pre-filtered relations otherwise.
+    """
+    rel = filter_relations(relations, conditions) if conditions else relations
+    rel = rel.filter(F.size("way_refs") > 0)
+    rel_ways = semi_join_ways(ways, rel)
+    way_nodes = hydrate_way_nodes(rel, rel_ways, nodes)
+    stitched = stitch(way_nodes, gap_m, closed=False)
+    stops = hydrate_stops(rel, nodes)
+    return _finalize(rel, stitched, stops)
+
+
+def get_areas(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    gap_m: float = 150.0,
+    conditions: str | None = None,
+) -> DataFrame:
+    """Area mode: relation areas (id_type 'r') union standalone
+    filter-matched way areas (id_type 'w'), rings closed within
+    tolerance (mod.rs:580-654)."""
+    rel = filter_relations(relations, conditions) if conditions else relations
+    rel = rel.filter(F.size("way_refs") > 0)
+    rel_ways = semi_join_ways(ways, rel)
+    way_nodes = hydrate_way_nodes(rel, rel_ways, nodes)
+    rel_areas = _finalize(rel, stitch(way_nodes, gap_m, closed=True), None)
+    rel_areas = rel_areas.withColumn("id_type", F.lit("r"))
+
+    std_ways = filter_ways(ways, conditions) if conditions else ways
+    std_ways = std_ways.filter(F.size("refs") > 0)
+    single = hydrate_single_ways(std_ways, nodes)
+    way_areas = _finalize(
+        std_ways.select("id", "tags", "info"),
+        stitch(single, gap_m, closed=True),
+        None,
+    ).withColumn("id_type", F.lit("w"))
+
+    cols = ["id", "id_type", "tags", "info", "geometry", "node_seq", "status_code", "status_detail"]
+    return rel_areas.select(*cols).unionByName(way_areas.select(*cols))

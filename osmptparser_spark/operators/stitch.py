@@ -1,0 +1,63 @@
+"""Grouped-pandas-UDF stitch stage (G1-G9 as applyInPandas).
+
+The reference runs ``flatten_ways`` per relation on a work-stealing
+thread pool (mod.rs:532-576). Here each route relation is one group of
+a ``groupBy(rel_id).applyInPandas`` — parallelism across relations is
+Spark task scheduling, per-group data is tiny (a route's ways), and the
+sequential greedy heuristic runs on plain Python tuples inside the
+worker. Arrow moves the grouped arrays in one batch per group set.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from . import stitch_core as sc
+
+STITCH_SCHEMA = (
+    "rel_id BIGINT, "
+    "geometry ARRAY<ARRAY<STRUCT<lon: DOUBLE, lat: DOUBLE>>>, "
+    "node_seq ARRAY<ARRAY<BIGINT>>, "
+    "status_code INT, status_detail STRING"
+)
+
+
+def _stitch_group(pdf: pd.DataFrame, gap_m: float, closed: bool) -> pd.DataFrame:
+    pdf = pdf.sort_values("way_pos")
+    ways = []
+    for ids, lats, lons in zip(pdf["node_ids"], pdf["lats"], pdf["lons"]):
+        way = [(int(i), float(la), float(lo)) for i, la, lo in zip(ids, lats, lons)]
+        if way:
+            ways.append(way)
+    geom, (code, detail) = sc.flatten(ways, gap_m, closed)
+    return pd.DataFrame(
+        [
+            {
+                "rel_id": int(pdf["rel_id"].iloc[0]),
+                "geometry": [
+                    [{"lon": n[2], "lat": n[1]} for n in seg] for seg in geom
+                ],
+                "node_seq": [[n[0] for n in seg] for seg in geom],
+                "status_code": code,
+                "status_detail": detail,
+            }
+        ]
+    )
+
+
+def stitch(way_nodes: DataFrame, gap_m: float, closed: bool) -> DataFrame:
+    """Stitch hydrated member ways into per-relation geometry.
+
+    Input: hydrate_way_nodes output (rel_id, way_pos, node_ids, lats,
+    lons). Output: one row per relation with geometry (lon,lat order,
+    relation.rs:52), ordered node-id sequences, and the parse status.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _stitch_group(pdf, gap_m, closed)
+
+    return way_nodes.groupBy("rel_id").applyInPandas(fn, STITCH_SCHEMA)
