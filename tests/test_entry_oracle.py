@@ -1,0 +1,74 @@
+"""Replicates the driver's correctness gate locally: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
+sf0.01, compare row counts and order-insensitive values exactly."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def _rows(rows):
+    return sorted(tuple(_norm(v) for v in r) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    sdf = q(spark, SF_DIR)
+    if sql is None:
+        assert sdf.count() >= 0  # rows-only check
+        return
+    spark_cols = sorted(sdf.columns)
+    got = _rows(
+        [tuple(r[c] for c in spark_cols) for r in sdf.collect()]
+    )
+    res = duck.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    assert sorted(duck_cols) == spark_cols, f"column names differ for {name}"
+    order = [duck_cols.index(c) for c in spark_cols]
+    want = _rows([tuple(row[i] for i in order) for row in res.fetchall()])
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    assert got == want, f"{name}: values differ (first diff: "
+    f"{next(((a, b) for a, b in zip(got, want) if a != b), None)})"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["rank", "n_name", "n_orders", "revenue"]
