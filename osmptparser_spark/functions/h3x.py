@@ -1,0 +1,315 @@
+"""H3-layout hierarchical hexagonal index, from scratch, numpy-vectorized (W2).
+
+Same design space as H3 (icosahedral gnomonic projection, aperture-7
+hex hierarchy, 3-bit digits per resolution, base cells + digit path in
+a 64-bit id) built independently on an algebraic foundation: hex
+lattice points are Eisenstein integers a+b*omega (omega = e^{2*pi*i/3}),
+and aperture-7 subdivision is multiplication by (3+omega), whose norm
+is 7. Digit extraction is exact integer arithmetic: the digit set
+{0, +-1, +-omega, +-(1+omega)} is a complete residue system mod
+(3+omega), and division is multiplication by the conjugate (2-omega)
+followed by exact /7.
+
+Documented divergences from Uber's H3 (which cannot be calibrated
+against in this sandbox — no h3 wheel resolves):
+* base-cell numbering is (face, local axial coord) rather than H3's
+  122-cell table; ids are NOT bit-identical to h3's;
+* no pentagon special-casing: each point is assigned the face whose
+  center is nearest (a deterministic Voronoi partition, dual
+  dodecahedron), so cells near face boundaries overlap slightly
+  between faces instead of distorting into pentagons. k_ring stays
+  within one face; cross-face neighbor loss is handled by the kNN
+  operator's exact-refine + fallback.
+
+Cell id layout (63 usable bits, always positive):
+  [4 bits mode=2][4 bits res 0-15][10 bits base = face*49+(a0+3)*7+(b0+3)]
+  [45 bits: 15 digit slots of 3 bits, slot i = res i, unused = 7]
+
+Resolution scale is calibrated to H3: ~122 base-cell-sized hexes cover
+the sphere at res 0, cell area shrinks by 7x per res (res 9 ~ 0.1 km^2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 15
+_MODE = 2
+
+# --- icosahedron geometry -------------------------------------------------------
+
+_TOP_LAT = np.degrees(np.arctan(0.5))  # 26.565...
+
+
+def _build_faces():
+    v = np.zeros((12, 3))
+    v[0] = (0.0, 0.0, 1.0)
+    v[11] = (0.0, 0.0, -1.0)
+    upper = np.radians(np.arange(5) * 72.0)
+    lower = np.radians(np.arange(5) * 72.0 + 36.0)
+    toplat = np.radians(_TOP_LAT)
+    for i in range(5):
+        v[1 + i] = (
+            np.cos(toplat) * np.cos(upper[i]),
+            np.cos(toplat) * np.sin(upper[i]),
+            np.sin(toplat),
+        )
+        v[6 + i] = (
+            np.cos(toplat) * np.cos(lower[i]),
+            np.cos(toplat) * np.sin(lower[i]),
+            -np.sin(toplat),
+        )
+    faces = []
+    for i in range(5):
+        j = (i + 1) % 5
+        faces.append((0, 1 + i, 1 + j))  # polar cap north
+        faces.append((1 + i, 6 + i, 1 + j))  # upper middle
+        faces.append((1 + j, 6 + i, 6 + j))  # lower middle
+        faces.append((11, 6 + i, 6 + j))  # polar cap south
+    centers = np.array([v[a] + v[b] + v[c] for a, b, c in faces])
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # tangent-plane basis per face (no face center is at a pole)
+    k = np.array([0.0, 0.0, 1.0])
+    east = np.cross(np.broadcast_to(k, centers.shape), centers)
+    east /= np.linalg.norm(east, axis=1, keepdims=True)
+    north = np.cross(centers, east)
+    return centers, east, north
+
+
+_CENTERS, _EAST, _NORTH = _build_faces()
+N_FACES = 20
+
+# res-0 lattice spacing in gnomonic units: hex area (sqrt(3)/2)*a^2
+# ~= 4*pi/122 steradians -> ~6.1 base hexes per face, H3-like sizing
+BASE_SCALE = float(np.sqrt((4.0 * np.pi / 122.0) / (np.sqrt(3.0) / 2.0)))
+
+# --- Eisenstein arithmetic -------------------------------------------------------
+
+_OMEGA = complex(-0.5, np.sqrt(3.0) / 2.0)
+_APERTURE = 3.0 + _OMEGA  # |.|^2 = 7, arg ~ 19.107 deg
+
+# digits 0..6: 0 plus the 6 units
+_DIGITS = np.array(
+    [(0, 0), (1, 0), (1, 1), (0, 1), (-1, 0), (-1, -1), (0, -1)], dtype=np.int64
+)
+
+# residue lookup: key = ((2a+b) mod 7, (3b-a) mod 7) for c = a+b*omega,
+# i.e. coordinates of c*(2-omega) mod 7
+_RESIDUE = np.full((7, 7), -1, dtype=np.int64)
+for _idx, (_a, _b) in enumerate(_DIGITS):
+    _RESIDUE[(2 * _a + _b) % 7, (3 * _b - _a) % 7] = _idx
+assert (_RESIDUE >= 0).sum() == 7
+
+
+def _hex_round(af, bf):
+    """Nearest Eisenstein integer via cube rounding (basis 1, omega)."""
+    # cube coords: x=a, z=b, y=-(a-b)?? -> use x=a, y=b, dist=max(|a|,|b|,|a-b|)
+    # rounding: round a,b and the difference consistently
+    cf = af - bf
+    a = np.rint(af)
+    b = np.rint(bf)
+    c = np.rint(cf)
+    da = np.abs(a - af)
+    db = np.abs(b - bf)
+    dc = np.abs(c - cf)
+    # fix the coordinate with the largest rounding error so a - b == c
+    fix_a = (da >= db) & (da >= dc)
+    fix_b = ~fix_a & (db >= dc)
+    a = np.where(fix_a, b + c, a)
+    b = np.where(~fix_a & fix_b, a - c, b)
+    return a.astype(np.int64), b.astype(np.int64)
+
+
+def _digit_extract(a, b, res):
+    """Exact base-(3+omega) expansion: returns (a0, b0, digits[res..1])."""
+    digits = np.zeros((res, len(a)), dtype=np.int64)
+    for step in range(res - 1, -1, -1):
+        key_x = (2 * a + b) % 7
+        key_y = (3 * b - a) % 7
+        d = _RESIDUE[key_x, key_y]
+        digits[step] = d
+        da = _DIGITS[d, 0]
+        db = _DIGITS[d, 1]
+        ra, rb = a - da, b - db
+        # (ra + rb*omega) * (2 - omega) / 7, exact
+        a = (2 * ra + rb) // 7
+        b = (3 * rb - ra) // 7
+    return a, b, digits
+
+
+def _digit_rebuild(a0, b0, digits):
+    """Inverse of _digit_extract:
+    (a+bw)(3+w) = 3a + aw + 3bw + bw^2 = (3a-b) + (a+2b)w, then add digit."""
+    a, b = a0.copy(), b0.copy()
+    for step in range(digits.shape[0]):
+        a, b = (
+            3 * a - b + _DIGITS[digits[step], 0],
+            a + 2 * b + _DIGITS[digits[step], 1],
+        )
+    return a, b
+
+
+# --- encode / decode -------------------------------------------------------------
+
+
+def _project(lat_deg, lon_deg):
+    """-> (face, complex gnomonic coords on that face)."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    coslat = np.cos(lat)
+    p = np.stack([coslat * np.cos(lon), coslat * np.sin(lon), np.sin(lat)], axis=-1)
+    face = np.argmax(p @ _CENTERS.T, axis=-1)
+    n = _CENTERS[face]
+    scale = 1.0 / np.einsum("ij,ij->i", p, n)
+    q = p * scale[:, None]
+    x = np.einsum("ij,ij->i", q, _EAST[face])
+    y = np.einsum("ij,ij->i", q, _NORTH[face])
+    return face, x + 1j * y
+
+
+def _unproject(face, z):
+    p = (
+        _CENTERS[face]
+        + np.real(z)[:, None] * _EAST[face]
+        + np.imag(z)[:, None] * _NORTH[face]
+    )
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    lat = np.degrees(np.arcsin(np.clip(p[:, 2], -1.0, 1.0)))
+    lon = np.degrees(np.arctan2(p[:, 1], p[:, 0]))
+    return lat, lon
+
+
+def _pack(face, a0, b0, res, digits):
+    base = face * 49 + (a0 + 3) * 7 + (b0 + 3)
+    out = (np.int64(_MODE) << 59) | (np.int64(res) << 55) | (base.astype(np.int64) << 45)
+    path = np.zeros_like(out)
+    for slot in range(MAX_RES):
+        d = digits[slot] if slot < res else np.full_like(out, 7)
+        path |= d.astype(np.int64) << (3 * (MAX_RES - 1 - slot))
+    return out | path
+
+
+def _unpack(ids):
+    ids = np.asarray(ids, dtype=np.int64)
+    res = ((ids >> 55) & 0xF).astype(np.int64)
+    base = (ids >> 45) & 0x3FF
+    face = base // 49
+    rem = base % 49
+    a0 = rem // 7 - 3
+    b0 = rem % 7 - 3
+    digits = np.stack(
+        [(ids >> (3 * (MAX_RES - 1 - s))) & 7 for s in range(MAX_RES)]
+    )
+    return face, a0, b0, res, digits
+
+
+def latlng_to_cell(lat_deg, lon_deg, res: int):
+    """Encode points to hex cell ids at resolution ``res`` (0-15)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError("res must be in [0, 15]")
+    lat = np.atleast_1d(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.atleast_1d(np.asarray(lon_deg, dtype=np.float64))
+    face, z = _project(lat, lon)
+    c = z * (_APERTURE**res) / BASE_SCALE
+    bf = np.imag(c) / (np.sqrt(3.0) / 2.0)
+    af = np.real(c) + bf / 2.0
+    a, b = _hex_round(af, bf)
+    a0, b0, digits = _digit_extract(a, b, res)
+    # clamp base coords (points at most ~2 lattice units from center)
+    a0 = np.clip(a0, -3, 3)
+    b0 = np.clip(b0, -3, 3)
+    return _pack(face, a0, b0, res, digits)
+
+
+def cell_to_latlng(ids):
+    """Decode cell ids to their center lat/lon (degrees)."""
+    face, a0, b0, res, digits = _unpack(ids)
+    n = len(np.atleast_1d(face))
+    # rebuild axial coords per distinct res (vectorized per group)
+    a = np.zeros(n, dtype=np.int64)
+    b = np.zeros(n, dtype=np.int64)
+    out_lat = np.zeros(n)
+    out_lon = np.zeros(n)
+    for r in np.unique(res):
+        m = res == r
+        aa, bb = a0[m], b0[m]
+        for step in range(int(r)):
+            d = digits[step][m]
+            na = 3 * aa - bb + _DIGITS[d, 0]
+            nb = aa + 2 * bb + _DIGITS[d, 1]
+            aa, bb = na, nb
+        c = (aa + bb * _OMEGA) * BASE_SCALE / (_APERTURE ** int(r))
+        la, lo = _unproject(face[m], c)
+        out_lat[m] = la
+        out_lon[m] = lo
+    return out_lat, out_lon
+
+
+def cell_resolution(ids):
+    return ((np.asarray(ids, dtype=np.int64) >> 55) & 0xF).astype(np.int64)
+
+
+def cell_to_parent(ids, parent_res: int):
+    """Digit truncation — hierarchy containment exact by construction."""
+    face, a0, b0, res, digits = _unpack(ids)
+    if np.any(res < parent_res):
+        raise ValueError("parent_res must be <= cell res")
+    return _pack(face, a0, b0, parent_res, digits)
+
+
+def k_ring(cell_id: int, k: int):
+    """All cells within hex-grid distance k of ``cell_id`` (same face).
+
+    Purely lattice arithmetic: offsets {(da,db): max(|da|,|db|,|da-db|)
+    <= k} added to the cell's axial coords, re-encoded exactly.
+    """
+    ids = np.atleast_1d(np.asarray(cell_id, dtype=np.int64))
+    face, a0, b0, res, digits = _unpack(ids)
+    r = int(res[0])
+    aa, bb = a0.copy(), b0.copy()
+    for step in range(r):
+        d = digits[step]
+        aa, bb = 3 * aa - bb + _DIGITS[d, 0], aa + 2 * bb + _DIGITS[d, 1]
+    offsets = [
+        (da, db)
+        for da in range(-k, k + 1)
+        for db in range(-k, k + 1)
+        if max(abs(da), abs(db), abs(da - db)) <= k
+    ]
+    out = []
+    for da, db in offsets:
+        na, nb = aa + da, bb + db
+        na0, nb0, nd = _digit_extract(na, nb, r)
+        if np.any(np.abs(na0) > 3) or np.any(np.abs(nb0) > 3):
+            continue  # spilled off the face's base grid (face edge)
+        out.append(_pack(face, na0, nb0, r, nd))
+    return np.concatenate(out) if out else np.array([], dtype=np.int64)
+
+
+def grid_disk_arrays(ids, k: int):
+    """Vectorized k-ring for an array of cells: returns (orig_idx, ring
+    cell ids) arrays — the candidate-generation explode for W4/W5/W7."""
+    ids = np.asarray(ids, dtype=np.int64)
+    face, a0, b0, res, digits = _unpack(ids)
+    r = int(res[0]) if len(res) else 0
+    aa, bb = a0.copy(), b0.copy()
+    for step in range(r):
+        d = digits[step]
+        aa, bb = 3 * aa - bb + _DIGITS[d, 0], aa + 2 * bb + _DIGITS[d, 1]
+    offsets = np.array(
+        [
+            (da, db)
+            for da in range(-k, k + 1)
+            for db in range(-k, k + 1)
+            if max(abs(da), abs(db), abs(da - db)) <= k
+        ],
+        dtype=np.int64,
+    )
+    n, m = len(ids), len(offsets)
+    na = (aa[:, None] + offsets[None, :, 0]).ravel()
+    nb = (bb[:, None] + offsets[None, :, 1]).ravel()
+    na0, nb0, nd = _digit_extract(na, nb, r)
+    faces = np.repeat(face, m)
+    idx = np.repeat(np.arange(n), m)
+    ok = (np.abs(na0) <= 3) & (np.abs(nb0) <= 3)
+    return idx[ok], _pack(faces[ok], na0[ok], nb0[ok], r, nd[:, ok])

@@ -1,0 +1,99 @@
+"""Tiling stage (W2/W3/W4): H3X/S2X encode + k-ring as Arrow pandas UDFs.
+
+Every point row gains ``h3_cell`` (res 7-11) and ``s2_cell`` columns via
+vectorized numpy inside ``pandas_udf`` — the JVM<->Python boundary moves
+whole Arrow batches, never rows. K-ring expansion is the candidate
+generator for spatial joins: explode each point's ring so the join
+becomes a plain equi-join on cell id (shuffle- or broadcast-friendly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from . import h3x, s2x
+
+
+def h3_encode_udf(res: int):
+    @pandas_udf("long")
+    def enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(h3x.latlng_to_cell(lat.to_numpy(), lon.to_numpy(), res))
+
+    return enc
+
+
+def s2_encode_udf(level: int):
+    @pandas_udf("long")
+    def enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(s2x.cell_id(lat.to_numpy(), lon.to_numpy(), level))
+
+    return enc
+
+
+def k_ring_udf(k: int):
+    """cell -> array of ring cells (vectorized batch-wise)."""
+
+    @pandas_udf("array<long>")
+    def ring(cells: pd.Series) -> pd.Series:
+        arr = cells.to_numpy(dtype=np.int64)
+        if len(arr) == 0:
+            return pd.Series([], dtype=object)
+        idx, out = h3x.grid_disk_arrays(arr, k)
+        result = [[] for _ in range(len(arr))]
+        for i, c in zip(idx, out):
+            result[i].append(int(c))
+        return pd.Series(result)
+
+    return ring
+
+
+def with_cells(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    h3_res: int = 9,
+    s2_level: int = 16,
+    h3_col: str = "h3_cell",
+    s2_col: str = "s2_cell",
+) -> DataFrame:
+    """Add H3X + S2X cell columns to any point DataFrame."""
+    return df.withColumn(
+        h3_col, h3_encode_udf(h3_res)(F.col(lat_col), F.col(lon_col))
+    ).withColumn(s2_col, s2_encode_udf(s2_level)(F.col(lat_col), F.col(lon_col)))
+
+
+def tile_points(
+    points: DataFrame,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    resolutions=(7, 8, 9, 10, 11),
+    s2_level: int = 16,
+) -> DataFrame:
+    """Multi-resolution tiles table (FIXTURES.md §1): one row per
+    (point, h3_res) with both cell systems. Built with a single stacked
+    select per res + union — the encode UDFs run once per res over
+    Arrow batches; no shuffle."""
+    parts = []
+    for res in resolutions:
+        parts.append(
+            points.select(
+                F.col(id_col).alias("entity_id"),
+                F.col(lat_col).alias("lat"),
+                F.col(lon_col).alias("lon"),
+                F.lit(res).cast("tinyint").alias("h3_res"),
+                h3_encode_udf(res)(F.col(lat_col), F.col(lon_col)).alias("h3_cell"),
+                s2_encode_udf(s2_level)(F.col(lat_col), F.col(lon_col)).alias(
+                    "s2_cell"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
