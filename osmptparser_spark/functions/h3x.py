@@ -203,6 +203,21 @@ def _unpack(ids):
     return face, a0, b0, res, digits
 
 
+def cell_pitch_m(res: int) -> float:
+    """Approximate center-to-center distance of adjacent cells at
+    ``res`` in meters (gnomonic units ~ radians near face centers)."""
+    return BASE_SCALE * 6_371_000.0 / (7.0 ** (res / 2.0))
+
+
+def ring_for_radius(radius_m: float, res: int) -> int:
+    """Smallest k such that a k-ring at ``res`` is guaranteed to contain
+    every cell within ``radius_m`` of a point anywhere in the center
+    cell; 1.3x margin absorbs gnomonic distortion toward face edges."""
+    import math
+
+    return int(math.ceil(1.3 * radius_m / cell_pitch_m(res))) + 1
+
+
 def latlng_to_cell(lat_deg, lon_deg, res: int):
     """Encode points to hex cell ids at resolution ``res`` (0-15)."""
     if not 0 <= res <= MAX_RES:

@@ -1,0 +1,321 @@
+"""Spatial join operators (W5/W6/W7/W8): cell equi-joins with skew
+salting, within-distance joins, kNN, point-in-polygon, raster<->vector.
+
+Strategy at 100 TB: every spatial predicate is reduced to an equi-join
+on H3X cell ids (candidate generation), then refined with an exact
+JVM-side haversine / a vectorized ray-cast. Small build sides are
+broadcast; skewed cells (megacities) are salted so one cell's pairs
+spread over N reducers; AQE skew-join splitting backs this up for
+moderate skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.geo import haversine_expr
+from ..functions.tiling import h3_encode_udf, k_ring_udf
+
+
+def _with_cell(df: DataFrame, res: int, lat: str, lon: str, out: str) -> DataFrame:
+    return df.withColumn(out, h3_encode_udf(res)(F.col(lat), F.col(lon)))
+
+
+def cell_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int = 9,
+    left_cols=("lat", "lon"),
+    right_cols=("lat", "lon"),
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """W5 core: co-bucket both sides at ``res`` and equi-join on cell.
+
+    Candidates only — callers refine with an exact predicate. With
+    ``broadcast_right`` the build side ships to every executor (no
+    shuffle at all); otherwise a plain shuffle hash join with AQE skew
+    splitting.
+    """
+    l = _with_cell(left, res, *left_cols, out="_cell")
+    r = _with_cell(right, res, *right_cols, out="_cell")
+    if broadcast_right:
+        r = F.broadcast(r)
+    return l.join(r, "_cell")
+
+
+def salted_cell_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int = 9,
+    salt: int = 8,
+    left_cols=("lat", "lon"),
+    right_cols=("lat", "lon"),
+) -> DataFrame:
+    """Skew-proof variant: replicate the RIGHT side ``salt`` times with
+    salt ids 0..salt-1 and give each LEFT row one deterministic salt, so
+    a megacity cell's candidate pairs spread over ``salt`` reducers.
+    Exactly one (cell, salt) match per true pair -> no duplicates."""
+    l = _with_cell(left, res, *left_cols, out="_cell").withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r = (
+        _with_cell(right, res, *right_cols, out="_cell")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .withColumn("_salt", F.col("_salt").cast("bigint"))
+    )
+    return l.join(r, ["_cell", "_salt"]).drop("_salt")
+
+
+def within_distance_join(
+    points: DataFrame,
+    stops: DataFrame,
+    radius_m: float,
+    res: int = 9,
+    ring: int | None = None,
+    point_id: str = "id",
+    stop_id: str = "id",
+) -> DataFrame:
+    """All (point, stop) pairs within ``radius_m``: k-ring candidate
+    explode on the point side, equi-join on cell, exact haversine
+    refine (JVM-side). ``ring`` defaults to the guaranteed-coverage
+    ``h3x.ring_for_radius(radius_m, res)``."""
+    from ..functions.h3x import ring_for_radius
+
+    if ring is None:
+        ring = ring_for_radius(radius_m, res)
+    p = (
+        _with_cell(points, res, "lat", "lon", "_cell0")
+        .withColumn("_ring", k_ring_udf(ring)(F.col("_cell0")))
+        .select(
+            F.col(point_id).alias("point_id"),
+            F.col("lat").alias("p_lat"),
+            F.col("lon").alias("p_lon"),
+            F.explode("_ring").alias("_cell"),
+        )
+    )
+    s = _with_cell(stops, res, "lat", "lon", "_cell").select(
+        F.col(stop_id).alias("stop_id"),
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        "_cell",
+    )
+    dist = haversine_expr(
+        F.col("p_lat"), F.col("p_lon"), F.col("s_lat"), F.col("s_lon")
+    )
+    return (
+        p.join(s, "_cell")
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= radius_m)
+        # a stop can match via several ring cells of the same point
+        .dropDuplicates(["point_id", "stop_id"])
+        .select("point_id", "stop_id", "p_lat", "p_lon", "s_lat", "s_lon", "dist_m")
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    res: int = 8,
+    ring: int = 2,
+    query_id: str = "id",
+    cand_id: str = "id",
+    exact_fallback: bool = True,
+) -> DataFrame:
+    """W7: k nearest candidates per query.
+
+    Scale path: k-ring candidate generation -> cell equi-join -> exact
+    haversine -> row_number window top-k. Queries whose ring holds
+    fewer than k candidates (sparse regions / face edges) fall back to
+    a brute-force broadcast pass so the result is EXACT whenever the
+    true k-NN lie within the ring; set exact_fallback=False to skip the
+    rescue pass at extreme scale.
+    """
+    q = (
+        _with_cell(queries, res, "lat", "lon", "_cell0")
+        .withColumn("_ring", k_ring_udf(ring)(F.col("_cell0")))
+        .select(
+            F.col(query_id).alias("query_id"),
+            F.col("lat").alias("q_lat"),
+            F.col("lon").alias("q_lon"),
+            F.explode("_ring").alias("_cell"),
+        )
+    )
+    c = _with_cell(candidates, res, "lat", "lon", "_cell").select(
+        F.col(cand_id).alias("cand_id"),
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+        "_cell",
+    )
+    dist = haversine_expr(
+        F.col("q_lat"), F.col("q_lon"), F.col("c_lat"), F.col("c_lon")
+    )
+    pairs = (
+        q.join(c, "_cell")
+        .dropDuplicates(["query_id", "cand_id"])
+        .withColumn("dist_m", dist)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m"), F.col("cand_id"))
+    topk = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "dist_m", "rank")
+    )
+    if not exact_fallback:
+        return topk
+    # rescue: queries with < k hits get brute-force (broadcast) kNN
+    counts = topk.groupBy("query_id").agg(F.count("*").alias("_n"))
+    short = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col("lat").alias("q_lat"),
+            F.col("lon").alias("q_lon"),
+        )
+        .join(counts.filter(F.col("_n") >= k), "query_id", "left_anti")
+    )
+    brute = (
+        short.crossJoin(
+            F.broadcast(
+                candidates.select(
+                    F.col(cand_id).alias("cand_id"),
+                    F.col("lat").alias("c_lat"),
+                    F.col("lon").alias("c_lon"),
+                )
+            )
+        )
+        .withColumn("dist_m", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "dist_m", "rank")
+    )
+    return topk.join(short.select("query_id"), "query_id", "left_anti").unionByName(
+        brute
+    )
+
+
+# --- point-in-polygon (W6) -------------------------------------------------------
+
+
+def _ray_cast(px, py, ring_x, ring_y):
+    """Vectorized even-odd ray casting: points (n,) vs one ring (m,)."""
+    inside = np.zeros(len(px), dtype=bool)
+    x1, y1 = ring_x[:-1], ring_y[:-1]
+    x2, y2 = ring_x[1:], ring_y[1:]
+    for xa, ya, xb, yb in zip(x1, y1, x2, y2):
+        cond = (ya > py) != (yb > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (xb - xa) * (py - ya) / (yb - ya) + xa
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 7,
+    point_id: str = "id",
+    poly_id: str = "poly_id",
+) -> DataFrame:
+    """W6: (point, polygon) containment pairs.
+
+    ``polygons``: poly_id BIGINT, ring ARRAY<STRUCT<lon,lat>> (closed).
+    Candidates: polygon bounding boxes broadcast and range-joined on
+    lat/lon (fine for dim-table-sized polygon sets, e.g. admin areas);
+    refine: numpy ray casting inside applyInPandas over poly groups.
+    """
+    polys = polygons.select(
+        poly_id,
+        "ring",
+        F.array_min(F.transform("ring", lambda p: p["lat"])).alias("_lat_min"),
+        F.array_max(F.transform("ring", lambda p: p["lat"])).alias("_lat_max"),
+        F.array_min(F.transform("ring", lambda p: p["lon"])).alias("_lon_min"),
+        F.array_max(F.transform("ring", lambda p: p["lon"])).alias("_lon_max"),
+    )
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col("lat").alias("p_lat"),
+        F.col("lon").alias("p_lon"),
+    )
+    cands = pts.join(
+        F.broadcast(polys),
+        (F.col("p_lat") >= F.col("_lat_min"))
+        & (F.col("p_lat") <= F.col("_lat_max"))
+        & (F.col("p_lon") >= F.col("_lon_min"))
+        & (F.col("p_lon") <= F.col("_lon_max")),
+    ).select("point_id", "p_lat", "p_lon", poly_id, "ring")
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pdf.iloc[0:0][["point_id", poly_id]]
+        ring = pdf["ring"].iloc[0]
+        rx = np.array([p["lon"] for p in ring])
+        ry = np.array([p["lat"] for p in ring])
+        inside = _ray_cast(pdf["p_lon"].to_numpy(), pdf["p_lat"].to_numpy(), rx, ry)
+        return pdf.loc[inside, ["point_id", poly_id]]
+
+    return cands.groupBy(poly_id).applyInPandas(
+        refine, f"point_id BIGINT, {poly_id} BIGINT"
+    )
+
+
+# --- raster <-> vector (W8) ------------------------------------------------------
+
+
+def rasterize(points: DataFrame, res: int = 9, value_col: str | None = None) -> DataFrame:
+    """Points -> cell grid aggregate (count [+ sum of value_col] +
+    centroid). Pure groupBy: map-side partial aggregation applies."""
+    df = _with_cell(points, res, "lat", "lon", "h3_cell")
+    aggs = [
+        F.count("*").alias("n_points"),
+        F.avg("lat").alias("centroid_lat"),
+        F.avg("lon").alias("centroid_lon"),
+    ]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return df.groupBy("h3_cell").agg(*aggs)
+
+
+def vectorize(cells: DataFrame, cell_col: str = "h3_cell") -> DataFrame:
+    """Cell grid -> hex boundary polygons: ARRAY<STRUCT<lon,lat>> (7
+    points, closed). Decode + corner offsets, vectorized per batch."""
+    from ..functions import h3x
+
+    @F.pandas_udf("array<struct<lon: double, lat: double>>")
+    def boundary(cells_s: pd.Series) -> pd.Series:
+        arr = cells_s.to_numpy(dtype=np.int64)
+        if len(arr) == 0:
+            return pd.Series([], dtype=object)
+        res = int(h3x.cell_resolution(arr[:1])[0])
+        face, a0, b0, _, digits = h3x._unpack(arr)
+        a, b = a0.copy(), b0.copy()
+        for step in range(res):
+            d = digits[step]
+            a, b = (
+                3 * a - b + h3x._DIGITS[d, 0],
+                a + 2 * b + h3x._DIGITS[d, 1],
+            )
+        center = (a + b * h3x._OMEGA) * h3x.BASE_SCALE / (h3x._APERTURE**res)
+        # hex corners: center +- rotated unit/sqrt(3) offsets
+        scale = h3x.BASE_SCALE / abs(h3x._APERTURE) ** res / np.sqrt(3.0)
+        # res-r lattice basis is b0/(3+omega)^r: rotated by -r*arg(3+omega)
+        rot = -np.angle(h3x._APERTURE**res)
+        corners = [
+            center + scale * np.exp(1j * (rot + np.pi / 6 + kk * np.pi / 3))
+            for kk in range(6)
+        ]
+        out = []
+        for i in range(len(arr)):
+            pts = []
+            for kk in range(6):
+                la, lo = h3x._unproject(face[i : i + 1], corners[kk][i : i + 1])
+                pts.append({"lon": float(lo[0]), "lat": float(la[0])})
+            pts.append(pts[0])
+            out.append(pts)
+        return pd.Series(out)
+
+    return cells.withColumn("boundary", boundary(F.col(cell_col)))
