@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline geo pipeline + relational operator suite.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default all cores) and prints ONE JSON line:
+
+  {"metric": "pages/sec spatial-join+tiling", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+The headline metric is pages/sec through the full geo pipeline
+(pages -> extract -> tag-filter -> semi-join -> hydrate -> stitch ->
+H3/S2 tiling -> kNN spatial join) over a deterministic synthetic pages
+table sized by sf. Relational/dedup/vector queries from
+__spark_entry__ run on the driver-provided testdata at the same sf.
+
+Scaling evidence (north rule): run this script twice with
+SPARK_GRAFT_CPUS=8 and =32 on the same input; see scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+
+# geo pipeline scale: ~40k routes/sf unit -> sf0.1: 4k routes, ~720k
+# nodes, ~16k pages. SPARK_GRAFT_ROUTES overrides (scaling runs use a
+# larger, compute-dominated input).
+N_ROUTES = int(
+    os.environ.get("SPARK_GRAFT_ROUTES", max(200, int(40_000 * SF)))
+)
+PAGES_CACHE = f"/tmp/osmptparser_bench_pages_{N_ROUTES}"
+
+BENCH_QUERIES = [
+    "a3_group_agg",
+    "x1_topk_window",
+    "j1_semi_join",
+    "j3_order_preserving_regroup",
+    "w5_cell_join",
+    "w7_knn_topk",
+    "dedup_exact",
+    "lang_id",
+    "events_hourly",
+    "emb_cosine_topk",
+]
+
+
+def _ensure_pages(spark):
+    if not os.path.exists(os.path.join(PAGES_CACHE, "_SUCCESS")):
+        from osmptparser_spark.sources.synth import synth_pages_spark
+
+        synth_pages_spark(spark, n_routes=N_ROUTES).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(PAGES_CACHE)
+    return spark.read.parquet(PAGES_CACHE)
+
+
+def _time(fn):
+    t0 = time.time()
+    out = fn()
+    return out, time.time() - t0
+
+
+def main():
+    from osmptparser_spark.session import get_spark
+
+    spark = get_spark(
+        "osmptparser-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from osmptparser_spark.engine import get_public_transports
+    from osmptparser_spark.functions.tagfilter import PTV2_FILTER
+    from osmptparser_spark.functions.tiling import with_cells
+    from osmptparser_spark.operators.spatial import knn_join
+    from osmptparser_spark.sources.pages import extract_all
+
+    timings: dict[str, float] = {}
+
+    pages = _ensure_pages(spark).cache()
+    n_pages = pages.count()  # also materializes the cache
+
+    # ---- headline geo pipeline -------------------------------------------
+    def geo_pipeline():
+        nodes, ways, relations = extract_all(pages)
+        nodes = nodes.cache()
+        pts = get_public_transports(nodes, ways, relations, 150.0, PTV2_FILTER)
+        stitched = pts.select(
+            "id", "status_code", F.size(F.flatten("node_seq")).alias("n_pts")
+        )
+        agg = stitched.agg(
+            F.count("*"), F.sum("n_pts"), F.sum("status_code")
+        ).collect()
+        # tiling over every extracted node
+        tiled = with_cells(nodes, h3_res=9, s2_level=16)
+        tile_agg = tiled.agg(
+            F.countDistinct("h3_cell"), F.countDistinct("s2_cell")
+        ).collect()
+        # spatial join: nearest stop-node for a ~10k-point query sample
+        # (modulo filter, NOT limit: global limit coalesces to 1 task)
+        sample = nodes.filter((F.col("id") % F.lit(max(1, N_ROUTES * 181 // 10_000))) == 0)
+        stops = nodes.sample(0.01, seed=1)
+        knn = knn_join(sample, stops, k=1, res=8, ring=1, exact_fallback=False)
+        knn_agg = knn.agg(F.count("*")).collect()
+        return (agg, tile_agg, knn_agg)
+
+    _, t_geo = _time(geo_pipeline)
+    timings["geo_pipeline_pages"] = round(t_geo, 3)
+
+    # ---- operator suite over driver testdata ------------------------------
+    queries = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        q = queries[name]
+
+        def run(q=q):
+            df = q(spark, SF_DIR)
+            return df.agg(F.count(F.lit(1))).collect()
+
+        _, dt = _time(run)
+        timings[name] = round(dt, 3)
+
+    pages_per_sec = n_pages / t_geo if t_geo > 0 else 0.0
+    result = {
+        "metric": "pages/sec spatial-join+tiling (extract->stitch->tile->kNN)",
+        "value": round(pages_per_sec, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "pages": n_pages,
+        "routes": N_ROUTES,
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

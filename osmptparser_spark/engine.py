@@ -18,9 +18,10 @@ from .operators.hydrate import (
     hydrate_single_ways,
     hydrate_stops,
     hydrate_way_nodes,
+    hydrated_node_rows,
     semi_join_ways,
 )
-from .operators.stitch import stitch
+from .operators.stitch import stitch, stitch_node_rows
 
 _EMPTY_GEOM = "CAST(array() AS ARRAY<ARRAY<STRUCT<lon: DOUBLE, lat: DOUBLE>>>)"
 _EMPTY_SEQ = "CAST(array() AS ARRAY<ARRAY<BIGINT>>)"
@@ -82,8 +83,8 @@ def get_public_transports(
     rel = filter_relations(relations, conditions) if conditions else relations
     rel = rel.filter(F.size("way_refs") > 0)
     rel_ways = semi_join_ways(ways, rel)
-    way_nodes = hydrate_way_nodes(rel, rel_ways, nodes)
-    stitched = stitch(way_nodes, gap_m, closed=False)
+    node_rows = hydrated_node_rows(rel, rel_ways, nodes)
+    stitched = stitch_node_rows(node_rows, gap_m, closed=False)
     stops = hydrate_stops(rel, nodes)
     return _finalize(rel, stitched, stops)
 
@@ -101,8 +102,8 @@ def get_areas(
     rel = filter_relations(relations, conditions) if conditions else relations
     rel = rel.filter(F.size("way_refs") > 0)
     rel_ways = semi_join_ways(ways, rel)
-    way_nodes = hydrate_way_nodes(rel, rel_ways, nodes)
-    rel_areas = _finalize(rel, stitch(way_nodes, gap_m, closed=True), None)
+    node_rows = hydrated_node_rows(rel, rel_ways, nodes)
+    rel_areas = _finalize(rel, stitch_node_rows(node_rows, gap_m, closed=True), None)
     rel_areas = rel_areas.withColumn("id_type", F.lit("r"))
 
     std_ways = filter_ways(ways, conditions) if conditions else ways

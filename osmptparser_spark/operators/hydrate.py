@@ -47,6 +47,32 @@ def semi_join_nodes(
     return nodes.join(referenced_node_ids(relations, rel_ways), "id", "left_semi")
 
 
+def hydrated_node_rows(
+    relations: DataFrame, ways: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """J3, fused form: the exploded (rel_id, way_pos, node_pos, node_id,
+    lat, lon) rows with dangling refs dropped — no regroup shuffle; the
+    stitch UDF groups by rel_id directly and rebuilds way order from
+    (way_pos, node_pos). One shuffle less than hydrate_way_nodes."""
+    rel_ways = relations.select(
+        F.col("id").alias("rel_id"),
+        F.posexplode("way_refs").alias("way_pos", "way_id"),
+    ).join(
+        ways.select(F.col("id").alias("way_id"), "refs"),
+        "way_id",
+        "inner",
+    )
+    return rel_ways.select(
+        "rel_id",
+        "way_pos",
+        F.posexplode("refs").alias("node_pos", "node_id"),
+    ).join(
+        nodes.select(F.col("id").alias("node_id"), "lat", "lon"),
+        "node_id",
+        "inner",
+    ).select("rel_id", "way_pos", "node_pos", "node_id", "lat", "lon")
+
+
 def hydrate_way_nodes(
     relations: DataFrame, ways: DataFrame, nodes: DataFrame
 ) -> DataFrame:

@@ -61,3 +61,49 @@ def stitch(way_nodes: DataFrame, gap_m: float, closed: bool) -> DataFrame:
         return _stitch_group(pdf, gap_m, closed)
 
     return way_nodes.groupBy("rel_id").applyInPandas(fn, STITCH_SCHEMA)
+
+
+def _stitch_node_rows_group(pdf: pd.DataFrame, gap_m: float, closed: bool) -> pd.DataFrame:
+    """Rebuild ordered member ways from flat (way_pos, node_pos) rows —
+    numpy sort + boundary split, no per-row Python — then stitch."""
+    import numpy as np
+
+    wp = pdf["way_pos"].to_numpy()
+    np_ = pdf["node_pos"].to_numpy()
+    order = np.lexsort((np_, wp))
+    wp = wp[order]
+    ids = pdf["node_id"].to_numpy()[order]
+    lats = pdf["lat"].to_numpy()[order]
+    lons = pdf["lon"].to_numpy()[order]
+    bounds = np.flatnonzero(np.diff(wp)) + 1
+    ways = [
+        list(zip(map(int, i), map(float, la), map(float, lo)))
+        for i, la, lo in zip(
+            np.split(ids, bounds), np.split(lats, bounds), np.split(lons, bounds)
+        )
+    ]
+    geom, (code, detail) = sc.flatten(ways, gap_m, closed)
+    return pd.DataFrame(
+        [
+            {
+                "rel_id": int(pdf["rel_id"].iloc[0]),
+                "geometry": [
+                    [{"lon": n[2], "lat": n[1]} for n in seg] for seg in geom
+                ],
+                "node_seq": [[n[0] for n in seg] for seg in geom],
+                "status_code": code,
+                "status_detail": detail,
+            }
+        ]
+    )
+
+
+def stitch_node_rows(node_rows: DataFrame, gap_m: float, closed: bool) -> DataFrame:
+    """Fused stitch over hydrated_node_rows output: a single groupBy
+    shuffle carries flat scalar columns (cheapest Arrow layout) and the
+    UDF rebuilds way order internally."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _stitch_node_rows_group(pdf, gap_m, closed)
+
+    return node_rows.groupBy("rel_id").applyInPandas(fn, STITCH_SCHEMA)
