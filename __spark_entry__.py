@@ -307,6 +307,151 @@ def _q_emb_cosine_topk(spark, sf_dir):
     )
 
 
+def _q_text_quality(spark, sf_dir):
+    # Quality scoring (expression-only): token/punct stats + [0,1] score.
+    from osmptparser_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+        token_count_ws,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_ws(t).alias("n_tokens_ws"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))).cast(
+            "long"
+        ).alias("n_punct"),
+        quality_score(t).alias("quality"),
+    )
+
+
+# ---- rows-only entries (non-SQL-expressible; pytest goldens in tests/) ----
+
+
+def _q_minhash_near_dup(spark, sf_dir):
+    from osmptparser_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    # plant deterministic near-dups so the operator has work to verify
+    dups = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    return minhash_lsh_pairs(
+        d.select("doc_id", "text").unionByName(dups), threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_simhash_near_dup(spark, sf_dir):
+    from osmptparser_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    dups = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return simhash_near_dup_pairs(
+        d.select("doc_id", "text").unionByName(dups), max_hamming=3
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from osmptparser_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(
+        d.select("doc_id", "text"), n=3, threshold=0.15
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_lsh_ann_topk(spark, sf_dir):
+    from osmptparser_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 25)
+    return ann_lsh_topk(q, emb, k=3, planes=4, tables=16).select(
+        "qid", "cid", "rank"
+    )
+
+
+def _q_h3_tiling(spark, sf_dir):
+    # W2/W8: synthetic points from events keys -> H3X res 9 cells ->
+    # rasterized counts (DuckDB cannot compute the encoder: rows-only).
+    from osmptparser_spark.operators.spatial import rasterize
+
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.col("user_id") % 4000) / 1000.0 - 2.0).alias("lat"),
+        ((F.col("event_id") % 4000) / 1000.0 - 80.0).alias("lon"),
+    )
+    return rasterize(ev, res=9).select(
+        "h3_cell", "n_points", F.round("centroid_lat", 6).alias("clat")
+    )
+
+
+def _q_s2_tiling(spark, sf_dir):
+    from osmptparser_spark.functions.tiling import s2_encode_udf
+
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.col("user_id") % 4000) / 1000.0 - 2.0).alias("lat"),
+        ((F.col("event_id") % 4000) / 1000.0 - 80.0).alias("lon"),
+    )
+    return (
+        ev.withColumn("s2_cell", s2_encode_udf(16)(F.col("lat"), F.col("lon")))
+        .groupBy("s2_cell")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def _q_stitch_pipeline(spark, sf_dir):
+    # G1-G9 + J1-J3 + F1 end-to-end on a deterministic synthetic city:
+    # per-status route counts (goldens asserted in tests/test_synth.py).
+    from osmptparser_spark.engine import get_public_transports
+    from osmptparser_spark.functions.tagfilter import PTV2_FILTER
+    from osmptparser_spark.sources.pages import extract_all
+    from osmptparser_spark.sources.synth import synth_pages_spark
+
+    pages = synth_pages_spark(spark, n_routes=200, routes_per_task=50)
+    nodes, ways, relations = extract_all(pages)
+    pts = get_public_transports(nodes, ways, relations, 150.0, PTV2_FILTER)
+    return pts.groupBy("status_code", "status_detail").agg(
+        F.count("*").alias("n_routes"),
+        F.sum(F.size(F.flatten("node_seq"))).alias("total_points"),
+    )
+
+
+def _q_knn_geo(spark, sf_dir):
+    # W7 over real coordinates (H3X rings + haversine + exact fallback).
+    from osmptparser_spark.operators.spatial import knn_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        ((F.col("user_id") % 4000) / 1000.0 - 2.0).alias("lat"),
+        ((F.col("event_id") % 4000) / 1000.0 - 80.0).alias("lon"),
+    )
+    queries_df = ev.filter(F.col("id") % 101 == 0)
+    stops = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        ((F.col("s_suppkey") * 13 % 4000) / 1000.0 - 2.0).alias("lat"),
+        ((F.col("s_suppkey") * 7 % 4000) / 1000.0 - 80.0).alias("lon"),
+    )
+    return knn_join(queries_df, stops, k=3, res=6, ring=2).select(
+        "query_id", "cand_id", F.round("dist_m", 3).alias("dist_m"), "rank"
+    )
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from osmptparser_spark.operators.multimodal import (
+        decode_image_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 64)
+    return decode_image_features(media).select(
+        "media_id", "width", "height", F.round(F.element_at("features", 1), 4).alias("f0")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_tag_filter": _q_f1_tag_filter,
@@ -324,6 +469,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "events_hourly": _q_events_hourly,
         "emb_cosine_topk": _q_emb_cosine_topk,
+        "text_quality": _q_text_quality,
+        # rows-only (no SQL twin): geo/tiling/dedup/ANN/stitch/multimodal
+        "minhash_near_dup": _q_minhash_near_dup,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "h3_tiling": _q_h3_tiling,
+        "s2_tiling": _q_s2_tiling,
+        "stitch_pipeline": _q_stitch_pipeline,
+        "knn_geo": _q_knn_geo,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -424,6 +580,36 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    count(*) AS cnt, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "text_quality": """
+            WITH stats AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens_ws,
+                       length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+                       length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace,
+                       (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+                     + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) // 5
+                     + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) // 4
+                     + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) // 4
+                     + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) // 4
+                     + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' de ', ''))) // 4
+                     + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' la ', ''))) // 4
+                     + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) // 4
+                     + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' que ', ''))) // 5
+                     + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' los ', ''))) // 5
+                       AS n_stops
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens_ws AS BIGINT) AS n_tokens_ws,
+                   CAST(n_punct AS BIGINT) AS n_punct,
+                   ((CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN n_stops / greatest(n_tokens_ws, 1) >= 0.01 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN n_nonspace / greatest(n_tokens_ws, 1) >= 2.0
+                          AND n_nonspace / greatest(n_tokens_ws, 1) <= 12.0 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0
+                   AS quality
+            FROM stats
         """,
         "emb_cosine_topk": """
             SELECT qid, cid, rank FROM (

@@ -74,7 +74,17 @@ def main():
     spark = get_spark(
         "osmptparser-bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")),
+        shuffle_partitions=int(
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE", str(2 * int(CPUS)) if CPUS.isdigit() else "64"
+            )
+        ),
+        confs={
+            # fresh JVM per bench process, so driver memory is settable;
+            # local mode = driver does all the work, give it real heap
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            "spark.sql.parquet.columnarReaderBatchSize": "1024",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -93,7 +103,7 @@ def main():
     n_pages = pages.count()  # also materializes the cache
 
     # ---- headline geo pipeline -------------------------------------------
-    def geo_pipeline():
+    def geo_pipeline(pages):
         nodes, ways, relations = extract_all(pages)
         nodes = nodes.cache()
         pts = get_public_transports(nodes, ways, relations, 150.0, PTV2_FILTER)
@@ -116,7 +126,10 @@ def main():
         knn_agg = knn.agg(F.count("*")).collect()
         return (agg, tile_agg, knn_agg)
 
-    _, t_geo = _time(geo_pipeline)
+    # warm python workers + JIT on a 5% sample, then time steady state
+    # (cluster jobs amortize worker/JIT startup; we report throughput)
+    geo_pipeline(pages.sample(0.05, seed=0))
+    _, t_geo = _time(lambda: geo_pipeline(pages))
     timings["geo_pipeline_pages"] = round(t_geo, 3)
 
     # ---- operator suite over driver testdata ------------------------------

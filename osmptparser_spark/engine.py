@@ -67,6 +67,13 @@ def _finalize(relations: DataFrame, stitched: DataFrame, stops: DataFrame | None
     )
 
 
+def iter_rows(df: DataFrame, order_by: str = "id"):
+    """X4 parity (mod.rs:737-742): sequential driver-side iteration,
+    deterministic order (the reference's iterator order is insertion
+    order; ours is explicit)."""
+    return df.orderBy(order_by).toLocalIterator()
+
+
 def get_public_transports(
     nodes: DataFrame,
     ways: DataFrame,

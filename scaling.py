@@ -44,27 +44,39 @@ def main():
     )
     # warm the pages cache in a throwaway run? bench generates on miss —
     # generate via first run; report uses its own timing fields only.
-    r8 = run_bench(8, routes)
-    r32 = run_bench(32, routes)
-    t8 = r8["queries"]["geo_pipeline_pages"]
-    t32 = r32["queries"]["geo_pipeline_pages"]
-    p8 = r8["pages"] / t8
-    p32 = r32["pages"] / t32
-    eff = (p32 / p8) / 4.0
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    n4 = 4 * n
+    # best-of-2 fresh-JVM runs per level: this sandbox carries external
+    # host load (loadavg ~12 while idle), so min-of-trials is the
+    # fairest steady-state estimate
+    rN = min(
+        (run_bench(n, routes) for _ in range(2)),
+        key=lambda r: r["queries"]["geo_pipeline_pages"],
+    )
+    r4N = min(
+        (run_bench(n4, routes) for _ in range(2)),
+        key=lambda r: r["queries"]["geo_pipeline_pages"],
+    )
+    tN = rN["queries"]["geo_pipeline_pages"]
+    t4N = r4N["queries"]["geo_pipeline_pages"]
+    pN = rN["pages"] / tN
+    p4N = r4N["pages"] / t4N
+    eff = (p4N / pN) / 4.0
     result = {
         "routes": routes,
-        "pages": r8["pages"],
-        "pages_per_sec_local8": round(p8, 2),
-        "pages_per_sec_local32": round(p32, 2),
-        "t8_sec": t8,
-        "t32_sec": t32,
+        "pages": rN["pages"],
+        "n_cores": n,
+        "pages_per_sec_N": round(pN, 2),
+        "pages_per_sec_4N": round(p4N, 2),
+        "tN_sec": tN,
+        "t4N_sec": t4N,
         "scaling_efficiency_4N_vs_N": round(eff, 3),
     }
     print(json.dumps(result))
     with open(os.path.join(HERE, "BENCH-SCALING.md"), "a") as f:
         f.write(
-            f"\n| {routes} | {r8['pages']} | {p8:.1f} | {p32:.1f} | "
-            f"{t8:.1f}s | {t32:.1f}s | {eff:.3f} |"
+            f"\n| {routes} | {rN['pages']} | local[{n}]: {pN:.1f} | "
+            f"local[{n4}]: {p4N:.1f} | {tN:.1f}s | {t4N:.1f}s | {eff:.3f} |"
         )
     return 0
 
