@@ -261,35 +261,35 @@ def extract_nodes_sql(pages: DataFrame, from_html: bool = True) -> DataFrame:
     lines = _lines(pages, from_html, "OSMNODE|")
     p = F.split("line", r"\|", 5)  # limit: tags JSON may contain pipes
     return lines.select(
-        p.getItem(1).cast("bigint").alias("id"),
-        p.getItem(2).cast("double").alias("lat"),
-        p.getItem(3).cast("double").alias("lon"),
-        F.from_json(p.getItem(4), "map<string,string>").alias("tags"),
+        F.get(p, 1).cast("bigint").alias("id"),
+        F.get(p, 2).cast("double").alias("lat"),
+        F.get(p, 3).cast("double").alias("lon"),
+        F.from_json(F.get(p, 4), "map<string,string>").alias("tags"),
     )
 
 
 def extract_ways_sql(pages: DataFrame, from_html: bool = True) -> DataFrame:
     lines = _lines(pages, from_html, "OSMWAY|")
     p = F.split("line", r"\|", 4)
-    tags, info = _json_pair(p.getItem(3))
+    tags, info = _json_pair(F.get(p, 3))
     return lines.select(
-        p.getItem(1).cast("bigint").alias("id"),
+        F.get(p, 1).cast("bigint").alias("id"),
         tags.alias("tags"),
         info.alias("info"),
-        _ids_expr(p.getItem(2)).alias("refs"),
+        _ids_expr(F.get(p, 2)).alias("refs"),
     )
 
 
 def extract_relations_sql(pages: DataFrame, from_html: bool = True) -> DataFrame:
     lines = _lines(pages, from_html, "OSMREL|")
     p = F.split("line", r"\|", 5)
-    tags, info = _json_pair(p.getItem(4))
+    tags, info = _json_pair(F.get(p, 4))
     return lines.select(
-        p.getItem(1).cast("bigint").alias("id"),
+        F.get(p, 1).cast("bigint").alias("id"),
         tags.alias("tags"),
         info.alias("info"),
-        _ids_expr(p.getItem(2)).alias("way_refs"),
-        _ids_expr(p.getItem(3)).alias("stop_refs"),
+        _ids_expr(F.get(p, 2)).alias("way_refs"),
+        _ids_expr(F.get(p, 3)).alias("stop_refs"),
     )
 
 
