@@ -104,8 +104,19 @@ def main():
 
     # ---- headline geo pipeline -------------------------------------------
     def geo_pipeline(pages):
-        nodes, ways, relations = extract_all(pages)
-        nodes = nodes.cache()
+        from osmptparser_spark.functions.tagfilter import line_prefilter
+        from osmptparser_spark.sources.pages import (
+            extract_nodes_sql,
+            extract_relations_sql,
+            extract_ways_sql,
+        )
+
+        pre = line_prefilter(PTV2_FILTER)
+        # .cache() on the prefiltered relation table doubles as the
+        # pushdown barrier for the exact map filter (see engine notes)
+        relations = extract_relations_sql(pages, line_filter=pre).cache()
+        ways = extract_ways_sql(pages)
+        nodes = extract_nodes_sql(pages).cache()
         pts = get_public_transports(nodes, ways, relations, 150.0, PTV2_FILTER)
         stitched = pts.select(
             "id", "status_code", F.size(F.flatten("node_seq")).alias("n_pts")

@@ -46,6 +46,46 @@ def compile_tag_filter(conditions: str, tags_col: str = "tags") -> Column:
     return reduce(lambda a, b: a & b, terms)
 
 
+_SAFE_TOKEN = __import__("re").compile(r"^[A-Za-z0-9_:\- ]*$")
+
+
+def line_prefilter(conditions: str, line_col: str = "line") -> Column | None:
+    """Cheap string prefilter equivalent of :func:`compile_tag_filter`
+    for raw microformat lines whose tags are canonical JSON (sorted
+    keys, no spaces, quotes escaped).
+
+    ``key`` existence -> line contains ``"key":``; ``key=v1,v2`` ->
+    line contains ``"key":"v1"`` or ... . May FALSE-POSITIVE (substring
+    inside another value) so callers must AND the exact map filter after
+    parsing — but never false-negatives for safe tokens, so it is a
+    sound pushdown prefilter. Returns None when any key/value needs
+    JSON escaping (then no prefilter is safe).
+
+    Why it exists: without it, Catalyst collapses the exact map filter
+    into the extraction projection and evaluates ``from_json`` once per
+    predicate conjunct over EVERY line (measured 200-300 s vs ~15 s on
+    80k pages); this prefilter drops non-matching lines before any JSON
+    parse.
+    """
+    terms = []
+    for term in conditions.split("&"):
+        key, eq, values = term.partition("=")
+        if not _SAFE_TOKEN.match(key):
+            return None
+        if eq:
+            vals = values.split(",")
+            if any(not _SAFE_TOKEN.match(v) for v in vals):
+                return None
+            cond = reduce(
+                lambda a, b: a | b,
+                [F.col(line_col).contains(f'"{key}":"{v}"') for v in vals],
+            )
+        else:
+            cond = F.col(line_col).contains(f'"{key}":')
+        terms.append(cond)
+    return reduce(lambda a, b: a & b, terms)
+
+
 def tag_filter_py(tags: dict, conditions: str) -> bool:
     """Driver/UDF-free reference implementation of the same grammar for
     tests and oracle computation (identical semantics to the Column)."""

@@ -236,11 +236,17 @@ def _recovered_text(from_html: bool):
     )
 
 
-def _lines(pages: DataFrame, from_html: bool, prefix: str) -> DataFrame:
-    return (
-        pages.select(F.explode(F.split(_recovered_text(from_html), "\n")).alias("line"))
-        .filter(F.col("line").startswith(prefix))
-    )
+def _lines(
+    pages: DataFrame, from_html: bool, prefix: str, line_filter=None
+) -> DataFrame:
+    df = pages.select(
+        F.explode(F.split(_recovered_text(from_html), "\n")).alias("line")
+    ).filter(F.col("line").startswith(prefix))
+    if line_filter is not None:
+        # sound string prefilter (tagfilter.line_prefilter): drops lines
+        # before any from_json parse; exact map filter re-applied later
+        df = df.filter(line_filter)
+    return df
 
 
 def _ids_expr(col):
@@ -257,8 +263,10 @@ def _json_pair(rest):
     return tags, info
 
 
-def extract_nodes_sql(pages: DataFrame, from_html: bool = True) -> DataFrame:
-    lines = _lines(pages, from_html, "OSMNODE|")
+def extract_nodes_sql(
+    pages: DataFrame, from_html: bool = True, line_filter=None
+) -> DataFrame:
+    lines = _lines(pages, from_html, "OSMNODE|", line_filter)
     p = F.split("line", r"\|", 5)  # limit: tags JSON may contain pipes
     return lines.select(
         F.get(p, 1).cast("bigint").alias("id"),
@@ -268,8 +276,10 @@ def extract_nodes_sql(pages: DataFrame, from_html: bool = True) -> DataFrame:
     )
 
 
-def extract_ways_sql(pages: DataFrame, from_html: bool = True) -> DataFrame:
-    lines = _lines(pages, from_html, "OSMWAY|")
+def extract_ways_sql(
+    pages: DataFrame, from_html: bool = True, line_filter=None
+) -> DataFrame:
+    lines = _lines(pages, from_html, "OSMWAY|", line_filter)
     p = F.split("line", r"\|", 4)
     tags, info = _json_pair(F.get(p, 3))
     return lines.select(
@@ -280,8 +290,10 @@ def extract_ways_sql(pages: DataFrame, from_html: bool = True) -> DataFrame:
     )
 
 
-def extract_relations_sql(pages: DataFrame, from_html: bool = True) -> DataFrame:
-    lines = _lines(pages, from_html, "OSMREL|")
+def extract_relations_sql(
+    pages: DataFrame, from_html: bool = True, line_filter=None
+) -> DataFrame:
+    lines = _lines(pages, from_html, "OSMREL|", line_filter)
     p = F.split("line", r"\|", 5)
     tags, info = _json_pair(F.get(p, 4))
     return lines.select(
