@@ -21,7 +21,7 @@ from .operators.hydrate import (
     hydrated_node_rows,
     semi_join_ways,
 )
-from .operators.stitch import stitch, stitch_node_rows
+from .operators.stitch import stitch, stitch_node_rows_partitioned as stitch_node_rows
 
 _EMPTY_GEOM = "CAST(array() AS ARRAY<ARRAY<STRUCT<lon: DOUBLE, lat: DOUBLE>>>)"
 _EMPTY_SEQ = "CAST(array() AS ARRAY<ARRAY<BIGINT>>)"
@@ -105,7 +105,8 @@ def areas_from_pages(
     )
 
     pre = line_prefilter(conditions) if conditions else None
-    relations = extract_relations_sql(pages, line_filter=pre)
+    # cache = reuse + pushdown barrier (see routes_from_pages)
+    relations = extract_relations_sql(pages, line_filter=pre).cache()
     # way branch needs the tag filter too -> same prefilter on way lines;
     # the relation-member semi-join re-reads ways unfiltered
     ways_all = extract_ways_sql(pages)
@@ -113,7 +114,6 @@ def areas_from_pages(
     rel = filter_relations(relations, conditions) if conditions else relations
     rel = rel.filter(F.size("way_refs") > 0)
     from .operators.hydrate import hydrated_node_rows, hydrate_single_ways, semi_join_ways
-    from .operators.stitch import stitch_node_rows
 
     rel_ways = semi_join_ways(ways_all, rel)
     node_rows = hydrated_node_rows(rel, rel_ways, nodes)

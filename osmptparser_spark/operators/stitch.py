@@ -107,3 +107,57 @@ def stitch_node_rows(node_rows: DataFrame, gap_m: float, closed: bool) -> DataFr
         return _stitch_node_rows_group(pdf, gap_m, closed)
 
     return node_rows.groupBy("rel_id").applyInPandas(fn, STITCH_SCHEMA)
+
+
+def _stitch_many(pdf: pd.DataFrame, gap_m: float, closed: bool) -> pd.DataFrame:
+    """Stitch every relation inside one sorted pandas frame (rows sorted
+    by rel_id; numpy boundary split, one python call per partition, not
+    per group)."""
+    import numpy as np
+
+    rel = pdf["rel_id"].to_numpy()
+    out = []
+    bounds = np.flatnonzero(np.diff(rel)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(rel)]])
+    for s, e in zip(starts, ends):
+        out.append(_stitch_node_rows_group(pdf.iloc[s:e], gap_m, closed))
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(
+            columns=["rel_id", "geometry", "node_seq", "status_code", "status_detail"]
+        )
+    )
+
+
+def stitch_node_rows_partitioned(
+    node_rows: DataFrame, gap_m: float, closed: bool
+) -> DataFrame:
+    """Throughput-shape stitch: repartition by rel_id + sort within
+    partitions + mapInPandas, so one python worker call processes a
+    whole partition of relations (vs one call per relation with
+    applyInPandas). A relation's rows can span Arrow batch boundaries
+    inside a partition, so the last (possibly incomplete) group of each
+    batch is carried into the next."""
+
+    parts = node_rows.repartition("rel_id").sortWithinPartitions(
+        "rel_id", "way_pos", "node_pos"
+    )
+
+    def gen(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last_rel = pdf["rel_id"].iloc[-1]
+            complete = pdf[pdf["rel_id"] != last_rel]
+            carry = pdf[pdf["rel_id"] == last_rel]
+            if len(complete):
+                yield _stitch_many(complete, gap_m, closed)
+        if carry is not None and len(carry):
+            yield _stitch_many(carry, gap_m, closed)
+
+    return parts.mapInPandas(gen, STITCH_SCHEMA)
