@@ -113,7 +113,10 @@ def main():
 
         pre = line_prefilter(PTV2_FILTER)
         # .cache() on the prefiltered relation table doubles as the
-        # pushdown barrier for the exact map filter (see engine notes)
+        # pushdown barrier for the exact map filter (see engine notes);
+        # both caches are dropped at the end so repeated trials measure
+        # the FULL pipeline (Spark dedups caches by canonical plan, so
+        # without unpersist a second trial would skip extraction)
         relations = extract_relations_sql(pages, line_filter=pre).cache()
         ways = extract_ways_sql(pages)
         nodes = extract_nodes_sql(pages).cache()
@@ -135,12 +138,18 @@ def main():
         stops = nodes.sample(0.01, seed=1)
         knn = knn_join(sample, stops, k=1, res=8, ring=1, exact_fallback=False)
         knn_agg = knn.agg(F.count("*")).collect()
+        nodes.unpersist()
+        relations.unpersist()
         return (agg, tile_agg, knn_agg)
 
     # warm python workers + JIT on a 5% sample, then time steady state
-    # (cluster jobs amortize worker/JIT startup; we report throughput)
+    # (cluster jobs amortize worker/JIT startup; we report throughput).
+    # SPARK_GRAFT_GEO_TRIALS>1 -> min-of-N full runs in this JVM: the
+    # sandbox host carries external load, so min-of-trials is the
+    # fairest steady-state estimate (used by scaling.py).
     geo_pipeline(pages.sample(0.05, seed=0))
-    _, t_geo = _time(lambda: geo_pipeline(pages))
+    trials = int(os.environ.get("SPARK_GRAFT_GEO_TRIALS", "1"))
+    t_geo = min(_time(lambda: geo_pipeline(pages))[1] for _ in range(trials))
     timings["geo_pipeline_pages"] = round(t_geo, 3)
 
     # ---- operator suite over driver testdata ------------------------------

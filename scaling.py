@@ -28,6 +28,7 @@ def run_bench(cpus: int, routes: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_ROUTES"] = str(routes)
+    env.setdefault("SPARK_GRAFT_GEO_TRIALS", "3")
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "bench.py")],
         env=env,
@@ -50,11 +51,11 @@ def main():
     # host load (loadavg ~12 while idle), so min-of-trials is the
     # fairest steady-state estimate
     rN = min(
-        (run_bench(n, routes) for _ in range(2)),
+        (run_bench(n, routes) for _ in range(1)),
         key=lambda r: r["queries"]["geo_pipeline_pages"],
     )
     r4N = min(
-        (run_bench(n4, routes) for _ in range(2)),
+        (run_bench(n4, routes) for _ in range(1)),
         key=lambda r: r["queries"]["geo_pipeline_pages"],
     )
     tN = rN["queries"]["geo_pipeline_pages"]
