@@ -148,7 +148,7 @@ def main():
     # sandbox host carries external load, so min-of-trials is the
     # fairest steady-state estimate (used by scaling.py).
     geo_pipeline(pages.sample(0.05, seed=0))
-    trials = int(os.environ.get("SPARK_GRAFT_GEO_TRIALS", "1"))
+    trials = int(os.environ.get("SPARK_GRAFT_GEO_TRIALS", "2"))
     t_geo = min(_time(lambda: geo_pipeline(pages))[1] for _ in range(trials))
     timings["geo_pipeline_pages"] = round(t_geo, 3)
 
