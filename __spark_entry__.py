@@ -327,6 +327,21 @@ def _q_text_quality(spark, sf_dir):
     )
 
 
+def _q_sessionization(spark, sf_dir):
+    # Gap-based session windows (the batch twin of the stateful
+    # streaming operator in streaming/sessions.py).
+    from osmptparser_spark.streaming.sessions import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_batch(ev, gap_seconds=1800)
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
 # ---- rows-only entries (non-SQL-expressible; pytest goldens in tests/) ----
 
 
@@ -470,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "text_quality": _q_text_quality,
+        "sessionization": _q_sessionization,
         # rows-only (no SQL twin): geo/tiling/dedup/ANN/stitch/multimodal
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -574,6 +590,25 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'und'
                    END AS lang_guess
             FROM documents
+        """,
+        "sessionization": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "events_hourly": """
             SELECT event_type,

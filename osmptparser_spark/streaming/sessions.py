@@ -95,13 +95,11 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Exact batch twin: gap-based sessions via window functions (the
     classic lag/cumsum session assignment), all JVM-side."""
     w = Window.partitionBy("user_id").orderBy("ts")
+    # NTZ timestamps cannot cast straight to long under ANSI
+    epoch = F.col("ts").cast("timestamp").cast("long")
     with_gap = events.select("user_id", "ts").withColumn(
         "new_session",
-        (
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long"), 1).over(w)
-            > gap_seconds
-        ).cast("int"),
+        (epoch - F.lag(epoch, 1).over(w) > gap_seconds).cast("int"),
     )
     with_id = with_gap.withColumn(
         "session_id",
