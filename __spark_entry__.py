@@ -327,6 +327,22 @@ def _q_text_quality(spark, sf_dir):
     )
 
 
+def _q_a4_rollup(spark, sf_dir):
+    # grouping-sets family (SURVEY §2.2: no reference impl — Spark
+    # built-in): rollup over returnflag/linestatus with decimal sums.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("string")
+            .alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "cnt", "sum_qty")
+    )
+
+
 def _q_sessionization(spark, sf_dir):
     # Gap-based session windows (the batch twin of the stateful
     # streaming operator in streaming/sessions.py).
@@ -486,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_emb_cosine_topk,
         "text_quality": _q_text_quality,
         "sessionization": _q_sessionization,
+        "a4_rollup": _q_a4_rollup,
         # rows-only (no SQL twin): geo/tiling/dedup/ANN/stitch/multimodal
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -590,6 +607,11 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'und'
                    END AS lang_guess
             FROM documents
+        """,
+        "a4_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "sessionization": """
             WITH g AS (

@@ -209,6 +209,14 @@ def cell_pitch_m(res: int) -> float:
     return BASE_SCALE * 6_371_000.0 / (7.0 ** (res / 2.0))
 
 
+def ring_guaranteed_m(ring: int, res: int) -> float:
+    """Radius within which a k-ring candidate set is provably complete:
+    any point within this distance of a query (anywhere in the center
+    cell) falls in a ring cell. Inverse of :func:`ring_for_radius`'s
+    margin (conservative)."""
+    return max(ring - 0.5, 0.0) * cell_pitch_m(res) / 1.3
+
+
 def ring_for_radius(radius_m: float, res: int) -> int:
     """Smallest k such that a k-ring at ``res`` is guaranteed to contain
     every cell within ``radius_m`` of a point anywhere in the center

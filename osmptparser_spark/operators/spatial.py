@@ -168,15 +168,43 @@ def knn_join(
     )
     if not exact_fallback:
         return topk
-    # rescue: queries with < k hits get brute-force (broadcast) kNN
-    counts = topk.groupBy("query_id").agg(F.count("*").alias("_n"))
+    # EXACTNESS GUARANTEE: a query's ring result is provably the true
+    # top-k iff it found >= k candidates AND its k-th distance lies
+    # within the ring's guaranteed coverage radius. Everything else
+    # escalates: first a 2x ring at the coarser res (still a cell
+    # join — at web scale sparse regions are rare), then brute force.
+    from ..functions.h3x import ring_guaranteed_m
+
+    def _complete(tk: DataFrame, guaranteed: float) -> DataFrame:
+        return (
+            tk.groupBy("query_id")
+            .agg(F.count("*").alias("_n"), F.max("dist_m").alias("_d"))
+            .filter((F.col("_n") >= k) & (F.col("_d") <= guaranteed))
+            .select("query_id")
+        )
+
+    done1 = _complete(topk, ring_guaranteed_m(ring, res))
+    pending1 = queries.select(
+        F.col(query_id).alias("query_id"), "lat", "lon"
+    ).join(done1, "query_id", "left_anti")
+    wide = knn_join(
+        pending1,
+        candidates,
+        k=k,
+        res=max(res - 1, 0),
+        ring=ring * 2,
+        query_id="query_id",
+        cand_id=cand_id,
+        exact_fallback=False,
+    )
+    done2 = _complete(wide, ring_guaranteed_m(ring * 2, max(res - 1, 0)))
     short = (
-        queries.select(
-            F.col(query_id).alias("query_id"),
+        pending1.join(done2, "query_id", "left_anti")
+        .select(
+            "query_id",
             F.col("lat").alias("q_lat"),
             F.col("lon").alias("q_lon"),
         )
-        .join(counts.filter(F.col("_n") >= k), "query_id", "left_anti")
     )
     brute = (
         short.crossJoin(
@@ -193,8 +221,10 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "dist_m", "rank")
     )
-    return topk.join(short.select("query_id"), "query_id", "left_anti").unionByName(
-        brute
+    return (
+        topk.join(done1, "query_id", "left_semi")
+        .unionByName(wide.join(done2, "query_id", "left_semi"))
+        .unionByName(brute)
     )
 
 
