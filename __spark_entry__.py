@@ -471,6 +471,38 @@ def _q_knn_geo(spark, sf_dir):
     )
 
 
+def _q_emb_near_dup(spark, sf_dir):
+    # embedding-cosine near-dup pairs (LSH candidates + exact verify)
+    # over planted perturbed copies.
+    from osmptparser_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+        "label",
+    )
+    d = emb.unionByName(planted)
+    return embedding_near_dup_pairs(d, threshold=0.999).select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+def _q_geojson_sink(spark, sf_dir):
+    # S4: GeoJSON serialization of stitched routes (reference shape,
+    # LineString quirk preserved) over the synthetic city.
+    from osmptparser_spark.engine import routes_from_pages
+    from osmptparser_spark.functions.tagfilter import PTV2_FILTER
+    from osmptparser_spark.sources.geojson import public_transport_geojson
+    from osmptparser_spark.sources.synth import synth_pages_spark
+
+    pages = synth_pages_spark(spark, n_routes=50, routes_per_task=25)
+    pts = routes_from_pages(pages, 150.0, PTV2_FILTER)
+    return public_transport_geojson(pts).select(
+        "id", F.length("geojson").alias("geojson_len")
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     from osmptparser_spark.operators.multimodal import (
         decode_image_features,
@@ -513,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stitch_pipeline": _q_stitch_pipeline,
         "knn_geo": _q_knn_geo,
         "multimodal_features": _q_multimodal_features,
+        "emb_near_dup": _q_emb_near_dup,
+        "geojson_sink": _q_geojson_sink,
     }
 
 

@@ -47,3 +47,24 @@ class Catalog:
     def testdata(self, sf_dir: str, name: str) -> DataFrame:
         """Driver-provided flat-file tables (TESTDATA.md layout)."""
         return self.spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Bucketed managed table: joins/aggregations on the bucket key
+        between co-bucketed tables run WITHOUT a shuffle (Exchange-free
+        sort-merge join). This is the co-located-join strategy for the
+        repeatedly-joined big tables (nodes by id, tiles by cell)."""
+        w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.option("path", self.path(table)).saveAsTable(table)
+
+    def table(self, table: str) -> DataFrame:
+        return self.spark.table(table)

@@ -27,6 +27,30 @@ def test_catalog_save_load_partitioned(spark, tmp_path):
     assert td.count() == 25
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from osmptparser_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "bwh"))
+    a = spark.createDataFrame([(i, i * 2) for i in range(1000)], "id BIGINT, x BIGINT")
+    b = spark.createDataFrame([(i, i * 3) for i in range(1000)], "id BIGINT, y BIGINT")
+    cat.save_bucketed(a, "bucketed_a", ["id"], n_buckets=8, sort_cols=["id"])
+    cat.save_bucketed(b, "bucketed_b", ["id"], n_buckets=8, sort_cols=["id"])
+    # force a sort-merge join (tiny tables would broadcast) to show the
+    # bucketing effect: no ShuffleExchange on either side
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cat.table("bucketed_a").join(cat.table("bucketed_b"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS bucketed_b")
+
+
 def test_iter_rows_deterministic_order(spark):
     from osmptparser_spark.engine import iter_rows
 
