@@ -99,6 +99,13 @@ def main():
 
     timings: dict[str, float] = {}
 
+    if os.environ.get("SPARK_GRAFT_GEN_ONLY"):
+        # pre-generate the pages cache (scaling.py runs this once at full
+        # parallelism so the pinned legs don't pay generation cost)
+        n = _ensure_pages(spark).count()
+        print(json.dumps({"generated_pages": n, "routes": N_ROUTES}))
+        return 0
+
     pages = _ensure_pages(spark).cache()
     n_pages = pages.count()  # also materializes the cache
 
@@ -154,7 +161,7 @@ def main():
 
     # ---- operator suite over driver testdata ------------------------------
     queries = entry_mod.queries()
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES if not os.environ.get("SPARK_GRAFT_SKIP_SUITE") else []:
         q = queries[name]
 
         def run(q=q):
@@ -163,6 +170,31 @@ def main():
 
         _, dt = _time(run)
         timings[name] = round(dt, 3)
+
+    if not os.environ.get("SPARK_GRAFT_SKIP_SUITE"):
+        # dedup signature throughput over the FULL documents table at this
+        # sf (the queries() twins run on a small verified slice; these legs
+        # measure the vectorized signature path end-to-end)
+        from osmptparser_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            simhash_near_dup_pairs,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        _, dt = _time(
+            lambda: minhash_lsh_pairs(docs, threshold=0.5)
+            .agg(F.count(F.lit(1)))
+            .collect()
+        )
+        timings["minhash_full"] = round(dt, 3)
+        _, dt = _time(
+            lambda: simhash_near_dup_pairs(docs, max_hamming=3)
+            .agg(F.count(F.lit(1)))
+            .collect()
+        )
+        timings["simhash_full"] = round(dt, 3)
 
     pages_per_sec = n_pages / t_geo if t_geo > 0 else 0.0
     result = {

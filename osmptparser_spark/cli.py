@@ -23,7 +23,16 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument(
         "--filter-ptv2",
         action="store_true",
-        help="public-transport-v2 preset filter (routes mode)",
+        help="public-transport-v2 preset filter (routes mode). NOTE: the"
+        " default preset omits the reference's route_master existence"
+        " term (mod.rs:151), which the reference's own fixture relations"
+        " lack — pass --strict-ptv2 with it for the literal preset",
+    )
+    p.add_argument(
+        "--strict-ptv2",
+        action="store_true",
+        help="with --filter-ptv2: use the reference's literal preset"
+        " (adds the route_master existence term; selects a subset)",
     )
     p.add_argument("--input", required=True, help="pages parquet / .pbf path")
     p.add_argument(
@@ -56,7 +65,7 @@ def load_entities(spark, args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from .engine import get_areas, get_public_transports
-    from .functions.tagfilter import PTV2_FILTER
+    from .functions.tagfilter import PTV2_FILTER, PTV2_FILTER_STRICT
     from .session import get_spark
     from .sources.geojson import area_geojson, public_transport_geojson, write_geojson
 
@@ -64,7 +73,8 @@ def main(argv=None) -> int:
     spark = get_spark("osmptparser-spark-cli", master=master)
     nodes, ways, relations = load_entities(spark, args)
     if args.filter_ptv2:
-        out = get_public_transports(nodes, ways, relations, args.gap, PTV2_FILTER)
+        preset = PTV2_FILTER_STRICT if args.strict_ptv2 else PTV2_FILTER
+        out = get_public_transports(nodes, ways, relations, args.gap, preset)
         gj = public_transport_geojson(out.orderBy("id"))
     else:
         out = get_areas(nodes, ways, relations, args.gap, args.filter_expr)

@@ -20,6 +20,7 @@ from .operators.hydrate import (
     hydrate_way_nodes,
     hydrated_node_rows,
     semi_join_ways,
+    single_way_node_rows,
 )
 from .operators.stitch import stitch, stitch_node_rows_partitioned as stitch_node_rows
 
@@ -113,7 +114,6 @@ def areas_from_pages(
     nodes = extract_nodes_sql(pages)
     rel = filter_relations(relations, conditions) if conditions else relations
     rel = rel.filter(F.size("way_refs") > 0)
-    from .operators.hydrate import hydrated_node_rows, hydrate_single_ways, semi_join_ways
 
     rel_ways = semi_join_ways(ways_all, rel)
     node_rows = hydrated_node_rows(rel, rel_ways, nodes)
@@ -122,10 +122,13 @@ def areas_from_pages(
     ways_f = extract_ways_sql(pages, line_filter=pre)
     std_ways = filter_ways(ways_f, conditions) if conditions else ways_f
     std_ways = std_ways.filter(F.size("refs") > 0)
-    single = hydrate_single_ways(std_ways, nodes)
+    # same partition-level stitch shape as the route path (a single way
+    # is a 1-way group keyed by its own id) — per-group applyInPandas
+    # was the measured 250s->15s bottleneck shape
+    single = single_way_node_rows(std_ways, nodes)
     way_areas = _finalize(
         std_ways.select("id", "tags", "info"),
-        stitch(single, gap_m, closed=True),
+        stitch_node_rows(single, gap_m, closed=True),
         None,
     ).withColumn("id_type", F.lit("w"))
     cols = [
@@ -183,10 +186,10 @@ def get_areas(
 
     std_ways = filter_ways(ways, conditions) if conditions else ways
     std_ways = std_ways.filter(F.size("refs") > 0)
-    single = hydrate_single_ways(std_ways, nodes)
+    single = single_way_node_rows(std_ways, nodes)
     way_areas = _finalize(
         std_ways.select("id", "tags", "info"),
-        stitch(single, gap_m, closed=True),
+        stitch_node_rows(single, gap_m, closed=True),
         None,
     ).withColumn("id_type", F.lit("w"))
 

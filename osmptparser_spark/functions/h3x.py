@@ -18,8 +18,14 @@ against in this sandbox — no h3 wheel resolves):
   center is nearest (a deterministic Voronoi partition, dual
   dodecahedron), so cells near face boundaries overlap slightly
   between faces instead of distorting into pentagons. k_ring stays
-  within one face; cross-face neighbor loss is handled by the kNN
-  operator's exact-refine + fallback.
+  within one face — a ring NEVER covers cells across a face boundary
+  by itself. Cross-face correctness is the caller's contract, built
+  from two primitives here: ``face_edge_distance_m`` (a ring disk is
+  provably complete only within min(ring_guaranteed_m, edge distance);
+  queries closer to a face edge must escalate to an exact pass) and
+  ``latlng_to_cells_multiface`` (encode near-edge points on every face
+  whose region intersects the search radius, so radius joins stay
+  equi-joins). The spatial operators use both.
 
 Cell id layout (63 usable bits, always positive):
   [4 bits mode=2][4 bits res 0-15][10 bits base = face*49+(a0+3)*7+(b0+3)]
@@ -226,13 +232,9 @@ def ring_for_radius(radius_m: float, res: int) -> int:
     return int(math.ceil(1.3 * radius_m / cell_pitch_m(res))) + 1
 
 
-def latlng_to_cell(lat_deg, lon_deg, res: int):
-    """Encode points to hex cell ids at resolution ``res`` (0-15)."""
-    if not 0 <= res <= MAX_RES:
-        raise ValueError("res must be in [0, 15]")
-    lat = np.atleast_1d(np.asarray(lat_deg, dtype=np.float64))
-    lon = np.atleast_1d(np.asarray(lon_deg, dtype=np.float64))
-    face, z = _project(lat, lon)
+def _encode_on_face(face, z, res: int):
+    """Lattice-encode gnomonic coords ``z`` already projected onto
+    ``face`` (shared by the home-face and multi-face encoders)."""
     c = z * (_APERTURE**res) / BASE_SCALE
     bf = np.imag(c) / (np.sqrt(3.0) / 2.0)
     af = np.real(c) + bf / 2.0
@@ -242,6 +244,83 @@ def latlng_to_cell(lat_deg, lon_deg, res: int):
     a0 = np.clip(a0, -3, 3)
     b0 = np.clip(b0, -3, 3)
     return _pack(face, a0, b0, res, digits)
+
+
+def latlng_to_cell(lat_deg, lon_deg, res: int):
+    """Encode points to hex cell ids at resolution ``res`` (0-15)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError("res must be in [0, 15]")
+    lat = np.atleast_1d(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.atleast_1d(np.asarray(lon_deg, dtype=np.float64))
+    face, z = _project(lat, lon)
+    return _encode_on_face(face, z, res)
+
+
+# --- face-boundary machinery ------------------------------------------------------
+# Face assignment is a spherical Voronoi partition of the 20 face
+# centers; the boundary between faces i and j is the great circle with
+# pole n_ij = (c_i - c_j)/|c_i - c_j|. Distance from a point on face i
+# to that boundary is arcsin(p . n_ij) (>= 0 on face i's side).
+
+_EARTH_R_M = 6_371_000.0
+
+
+def _unit_vectors(lat_deg, lon_deg):
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    coslat = np.cos(lat)
+    return np.stack(
+        [coslat * np.cos(lon), coslat * np.sin(lon), np.sin(lat)], axis=-1
+    )
+
+
+def _boundary_normals():
+    diff = _CENTERS[:, None, :] - _CENTERS[None, :, :]  # (20,20,3)
+    norm = np.linalg.norm(diff, axis=-1)
+    np.fill_diagonal(norm, 1.0)  # self pair never used
+    return diff / norm[:, :, None]
+
+
+_BOUNDARY_N = _boundary_normals()
+
+
+def face_edge_distance_m(lat_deg, lon_deg):
+    """Great-circle meters from each point to the nearest boundary of
+    its face's Voronoi region. A k-ring candidate disk is provably
+    complete only within min(ring_guaranteed_m, this): rings never
+    cross faces, so a smaller value forces the caller's exact/escalate
+    path (the round-1 cross-face blind spot)."""
+    p = _unit_vectors(np.atleast_1d(lat_deg), np.atleast_1d(lon_deg))
+    face = np.argmax(p @ _CENTERS.T, axis=-1)
+    # signed distances to all 19 boundaries of the home face
+    d = np.einsum("nd,njd->nj", p, _BOUNDARY_N[face])  # (n, 20)
+    d[np.arange(len(face)), face] = np.inf  # mask self
+    return np.arcsin(np.clip(d.min(axis=1), -1.0, 1.0)) * _EARTH_R_M
+
+
+def latlng_to_cells_multiface(lat_deg, lon_deg, res: int, pad_m: float):
+    """Encode each point on its home face AND on every neighboring face
+    whose Voronoi region lies within ``pad_m`` — so a k-ring around the
+    returned cells covers the full ``pad_m`` disk even across face
+    boundaries (incl. 3-face icosahedron vertices). Returns
+    (point_idx, cell_id) arrays; most points contribute one cell."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError("res must be in [0, 15]")
+    lat = np.atleast_1d(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.atleast_1d(np.asarray(lon_deg, dtype=np.float64))
+    p = _unit_vectors(lat, lon)
+    face = np.argmax(p @ _CENTERS.T, axis=-1)
+    d = np.einsum("nd,njd->nj", p, _BOUNDARY_N[face]) * _EARTH_R_M  # (n,20)
+    d[np.arange(len(face)), face] = 0.0  # home face always included
+    idx, faces = np.nonzero(d < pad_m)
+    pf = p[idx]
+    cf = _CENTERS[faces]
+    scale = 1.0 / np.einsum("ij,ij->i", pf, cf)
+    q = pf * scale[:, None]
+    z = np.einsum("ij,ij->i", q, _EAST[faces]) + 1j * np.einsum(
+        "ij,ij->i", q, _NORTH[faces]
+    )
+    return idx, _encode_on_face(faces, z, res)
 
 
 def cell_to_latlng(ids):

@@ -52,6 +52,53 @@ def k_ring_udf(k: int):
     return ring
 
 
+def covering_cells_udf(res: int, pad_m: float, ring: int):
+    """(lat, lon) -> distinct cells whose union provably covers the
+    ``pad_m`` disk around the point: multi-face encode (home face plus
+    every face whose Voronoi region intersects the disk) then k-ring
+    around each encoding. This is the candidate generator for
+    within-distance joins that stays exact across icosahedron face
+    boundaries and 3-face vertices."""
+
+    @pandas_udf("array<long>")
+    def cov(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        n = len(lat)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        pidx, cells = h3x.latlng_to_cells_multiface(
+            lat.to_numpy(), lon.to_numpy(), res, pad_m
+        )
+        ridx, rcells = h3x.grid_disk_arrays(cells, ring)
+        owner = pidx[ridx]
+        order = np.argsort(owner, kind="stable")
+        owner, rcells = owner[order], rcells[order]
+        bounds = np.flatnonzero(np.diff(owner)) + 1
+        result = [[] for _ in range(n)]
+        for o, chunk in zip(
+            owner[np.concatenate([[0], bounds])] if len(owner) else [],
+            np.split(rcells, bounds),
+        ):
+            result[int(o)] = np.unique(chunk).tolist()
+        return pd.Series(result)
+
+    return cov
+
+
+def face_edge_m_udf():
+    """(lat, lon) -> great-circle meters to the nearest face boundary
+    (see h3x.face_edge_distance_m)."""
+
+    @pandas_udf("double")
+    def edge(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        if len(lat) == 0:
+            return pd.Series([], dtype="float64")
+        return pd.Series(
+            h3x.face_edge_distance_m(lat.to_numpy(), lon.to_numpy())
+        )
+
+    return edge
+
+
 def with_cells(
     df: DataFrame,
     lat_col: str = "lat",

@@ -117,6 +117,23 @@ def hydrate_way_nodes(
     )
 
 
+def single_way_node_rows(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Flat (rel_id=way id, way_pos=0, node_pos, node_id, lat, lon) rows
+    for standalone filter-matched ways (area branch, mod.rs:596-647) —
+    the input shape of ``stitch_node_rows_partitioned``. Replaces the
+    hydrate_single_ways + per-group stitch() shape on the hot path:
+    no regroup shuffle here, one partition-level Arrow pass there."""
+    return ways.select(
+        F.col("id").alias("rel_id"),
+        F.lit(0).alias("way_pos"),
+        F.posexplode("refs").alias("node_pos", "node_id"),
+    ).join(
+        nodes.select(F.col("id").alias("node_id"), "lat", "lon"),
+        "node_id",
+        "inner",
+    ).select("rel_id", "way_pos", "node_pos", "node_id", "lat", "lon")
+
+
 def hydrate_single_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     """J3 for standalone filter-matched ways (area branch, mod.rs:596-647):
     each way is its own stitch group keyed by way id."""

@@ -46,15 +46,21 @@ def cosine_topk_bruteforce(
     )
 
 
-def _hyperplane_udf(dim: int, planes: int, tables: int, seed: int):
-    rng = np.random.default_rng(seed)
-    H = rng.normal(size=(tables, planes, dim))
+def _hyperplane_udf(dim: int | None, planes: int, tables: int, seed: int):
+    """Random-hyperplane signature UDF. ``dim`` may be None: the plane
+    matrix is then generated lazily from the first batch's vector length
+    — seeded, so every worker derives the identical matrix, and no
+    driver-side ``.first()`` job runs before the main plan."""
+    state: dict = {"H": None if dim is None else _planes(dim, planes, tables, seed)}
 
     @F.pandas_udf("array<bigint>")
     def sig(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        H = state["H"]
+        if H is None or H.shape[2] != M.shape[1]:
+            H = state["H"] = _planes(M.shape[1], planes, tables, seed)
         out = []
         sigs = np.einsum("tpd,nd->ntp", H, M) > 0  # (n, tables, planes)
         weights = 1 << np.arange(planes, dtype=np.int64)
@@ -64,6 +70,10 @@ def _hyperplane_udf(dim: int, planes: int, tables: int, seed: int):
         return pd.Series(out)
 
     return sig
+
+
+def _planes(dim: int, planes: int, tables: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).normal(size=(tables, planes, dim))
 
 
 def ann_lsh_topk(
@@ -78,9 +88,9 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signatures -> (table, code)
-    bucket equi-join -> exact cosine on candidates -> window top-k."""
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
+    bucket equi-join -> exact cosine on candidates -> window top-k.
+    ``dim`` is optional; when omitted the signature UDF infers it from
+    the data lazily (no extra driver job)."""
     sig = _hyperplane_udf(dim, planes, tables, seed)
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), sig(vec_col).alias("s")
@@ -111,9 +121,9 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold) via LSH
     candidates + exact verification; high-threshold pairs collide in
-    some table with high probability."""
-    dim = len(df.select(vec_col).first()[0])
-    sig = _hyperplane_udf(dim, planes, tables, seed)
+    some table with high probability. Vector dim is inferred lazily
+    inside the signature UDF (no driver job)."""
+    sig = _hyperplane_udf(None, planes, tables, seed)
     e = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), sig(vec_col).alias("s")
     ).select("vid", "v", F.posexplode("s").alias("table", "code"))

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.geo import haversine_expr
-from ..functions.tiling import h3_encode_udf, k_ring_udf
+from ..functions.tiling import (
+    covering_cells_udf,
+    face_edge_m_udf,
+    h3_encode_udf,
+    k_ring_udf,
+)
 
 
 def _with_cell(df: DataFrame, res: int, lat: str, lon: str, out: str) -> DataFrame:
@@ -80,22 +85,29 @@ def within_distance_join(
     point_id: str = "id",
     stop_id: str = "id",
 ) -> DataFrame:
-    """All (point, stop) pairs within ``radius_m``: k-ring candidate
-    explode on the point side, equi-join on cell, exact haversine
-    refine (JVM-side). ``ring`` defaults to the guaranteed-coverage
-    ``h3x.ring_for_radius(radius_m, res)``."""
+    """All (point, stop) pairs within ``radius_m``: covering-cell
+    candidate explode on the point side, equi-join on cell, exact
+    haversine refine (JVM-side). ``ring`` defaults to the
+    guaranteed-coverage ``h3x.ring_for_radius(radius_m, res)``.
+
+    Coverage holds across icosahedron face boundaries: the point side
+    uses ``covering_cells_udf`` (multi-face encode + ring), so a stop
+    whose home cell lies on an adjacent face still equi-joins — the
+    round-1 version's k-ring never left the point's face and silently
+    missed those pairs."""
     from ..functions.h3x import ring_for_radius
 
     if ring is None:
         ring = ring_for_radius(radius_m, res)
     p = (
-        _with_cell(points, res, "lat", "lon", "_cell0")
-        .withColumn("_ring", k_ring_udf(ring)(F.col("_cell0")))
+        points.withColumn(
+            "_cells", covering_cells_udf(res, radius_m, ring)(F.col("lat"), F.col("lon"))
+        )
         .select(
             F.col(point_id).alias("point_id"),
             F.col("lat").alias("p_lat"),
             F.col("lon").alias("p_lon"),
-            F.explode("_ring").alias("_cell"),
+            F.explode("_cells").alias("_cell"),
         )
     )
     s = _with_cell(stops, res, "lat", "lon", "_cell").select(
@@ -170,16 +182,29 @@ def knn_join(
         return topk
     # EXACTNESS GUARANTEE: a query's ring result is provably the true
     # top-k iff it found >= k candidates AND its k-th distance lies
-    # within the ring's guaranteed coverage radius. Everything else
-    # escalates: first a 2x ring at the coarser res (still a cell
-    # join — at web scale sparse regions are rare), then brute force.
+    # within the ring's guaranteed coverage radius AND within the
+    # query's distance to its face's Voronoi boundary (k-rings never
+    # cross icosahedron faces, so past that distance a true neighbor
+    # could live on the adjacent face unseen — the round-1 check was
+    # intra-face-only). Everything else escalates: first a 2x ring at
+    # the coarser res (still a cell join — at web scale sparse regions
+    # and face-edge queries are rare), then brute force.
     from ..functions.h3x import ring_guaranteed_m
+
+    q_edge = queries.select(
+        F.col(query_id).alias("query_id"),
+        face_edge_m_udf()(F.col("lat"), F.col("lon")).alias("_edge_m"),
+    )
 
     def _complete(tk: DataFrame, guaranteed: float) -> DataFrame:
         return (
             tk.groupBy("query_id")
             .agg(F.count("*").alias("_n"), F.max("dist_m").alias("_d"))
-            .filter((F.col("_n") >= k) & (F.col("_d") <= guaranteed))
+            .join(q_edge, "query_id")
+            .filter(
+                (F.col("_n") >= k)
+                & (F.col("_d") <= F.least(F.lit(guaranteed), F.col("_edge_m")))
+            )
             .select("query_id")
         )
 
@@ -250,13 +275,18 @@ def point_in_polygon_join(
     res: int = 7,
     point_id: str = "id",
     poly_id: str = "poly_id",
+    salt: int = 16,
 ) -> DataFrame:
     """W6: (point, polygon) containment pairs.
 
     ``polygons``: poly_id BIGINT, ring ARRAY<STRUCT<lon,lat>> (closed).
     Candidates: polygon bounding boxes broadcast and range-joined on
     lat/lon (fine for dim-table-sized polygon sets, e.g. admin areas);
-    refine: numpy ray casting inside applyInPandas over poly groups.
+    refine: numpy ray casting inside applyInPandas over (poly, salt)
+    groups. The ray cast is per-point, so salting the candidate set is
+    result-neutral — without it a country-sized polygon with 10^9
+    candidate points is ONE straggler task holding one pandas frame;
+    with it the hot polygon spreads over ``salt`` tasks.
     """
     polys = polygons.select(
         poly_id,
@@ -277,7 +307,14 @@ def point_in_polygon_join(
         & (F.col("p_lat") <= F.col("_lat_max"))
         & (F.col("p_lon") >= F.col("_lon_min"))
         & (F.col("p_lon") <= F.col("_lon_max")),
-    ).select("point_id", "p_lat", "p_lon", poly_id, "ring")
+    ).select(
+        "point_id",
+        "p_lat",
+        "p_lon",
+        poly_id,
+        "ring",
+        F.pmod(F.xxhash64("point_id"), F.lit(salt)).alias("_salt"),
+    )
 
     def refine(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -288,7 +325,7 @@ def point_in_polygon_join(
         inside = _ray_cast(pdf["p_lon"].to_numpy(), pdf["p_lat"].to_numpy(), rx, ry)
         return pdf.loc[inside, ["point_id", poly_id]]
 
-    return cands.groupBy(poly_id).applyInPandas(
+    return cands.groupBy(poly_id, "_salt").applyInPandas(
         refine, f"point_id BIGINT, {poly_id} BIGINT"
     )
 

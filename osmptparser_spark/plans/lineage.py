@@ -45,7 +45,14 @@ class LineageTracker:
         except Exception:
             return None
 
-    def is_complete(self, stage: str) -> bool:
+    def is_complete(self, stage: str, verify_hash: bool = False) -> bool:
+        """True iff the stage's manifest exists, is internally
+        consistent, AND matches the on-disk output. The internal check
+        alone would be tautological (both sides derive from the same
+        write-time DataFrame), so the output parquet is re-counted —
+        a footer-metadata read, cheap at any scale. ``verify_hash=True``
+        additionally re-hashes the output content (full scan: use for
+        audits, not every resume)."""
         m = self.manifest(stage)
         if m is None:
             return False
@@ -55,10 +62,19 @@ class LineageTracker:
         parts = m.filter(F.col("partition_id") >= 0).agg(
             F.sum("n_rows").alias("n"), F.sum("value_hash").alias("h")
         ).collect()[0]
-        return (
-            parts["n"] == total[0]["n_rows"]
-            and parts["h"] == total[0]["value_hash"]
-        )
+        if parts["n"] != total[0]["n_rows"] or parts["h"] != total[0]["value_hash"]:
+            return False
+        try:
+            out = self.spark.read.parquet(self._output_path(stage))
+        except Exception:
+            return False  # manifest without output: stage must re-run
+        if out.count() != total[0]["n_rows"]:
+            return False
+        if verify_hash:
+            got = out.agg(F.sum(_hash_all_columns(out)).alias("h")).collect()[0]["h"]
+            if got != total[0]["value_hash"]:
+                return False
+        return True
 
     def run_stage(self, stage: str, df_fn, force: bool = False) -> DataFrame:
         """Materialize ``df_fn()`` as stage output, or read it back if the

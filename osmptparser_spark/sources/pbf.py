@@ -122,16 +122,31 @@ def scan_blob_index(path: str) -> List[BlobRef]:
 
 
 def read_blob(path: str, ref: BlobRef) -> bytes:
-    """Read + inflate one blob payload into raw PrimitiveBlock bytes."""
+    """Read + inflate one blob payload into raw PrimitiveBlock bytes.
+
+    Supports the raw (field 1) and zlib (field 3) encodings, i.e. what
+    the OSM ecosystem actually writes. Any other registered Blob
+    compression field (lzma=4, lz4=6, zstd=7, obsolete bzip2=5) raises
+    instead of silently decoding an empty table."""
     with open(path, "rb") as f:
         f.seek(ref.offset)
         blob = f.read(ref.size)
-    raw = b""
+    raw = None
+    unsupported = []
     for fno, _, v in _fields(blob):
         if fno == 1:  # raw
             raw = v
         elif fno == 3:  # zlib_data
             raw = zlib.decompress(v)
+        elif fno in (4, 5, 6, 7):  # lzma / bzip2 (obsolete) / lz4 / zstd
+            unsupported.append(fno)
+    if raw is None:
+        detail = (
+            f"unsupported Blob compression (fields {unsupported})"
+            if unsupported
+            else "no raw/zlib_data field present"
+        )
+        raise ValueError(f"cannot decode PBF blob at offset {ref.offset}: {detail}")
     return raw
 
 

@@ -2,16 +2,31 @@
 """Scaling-efficiency evidence (north rule: >=0.8 between N and 4N).
 
 No real cluster exists in this sandbox, so per the driver instruction
-the same job runs at two parallelism levels — local[8] (N) and
-local[32] (4N) — on the SAME input, in fresh JVMs, and we report
-pages/sec at both plus efficiency = (throughput_4N / throughput_N) / 4.
+the same job runs at two parallelism levels — local[N] and local[4N] —
+on the SAME input, in fresh JVMs, and we report pages/sec at both plus
+efficiency = (throughput_4N / throughput_N) / 4.
 
-The input is sized compute-dominated (SPARK_GRAFT_ROUTES, default
-20000 routes = ~3.6M nodes / ~80k pages) so the measurement reflects
-the parallel fraction, not constant driver/JVM overhead. Results are
-appended to BENCH-SCALING.md.
+Methodology (round 2, addressing the round-1 0.49 measurement):
+* **CPU pinning**: each leg is `taskset`-pinned to exactly its core
+  count (leg N -> cores 0..N-1, leg 4N -> cores 0..4N-1), so the JVM's
+  availableProcessors, GC threads, and Python workers match the leg —
+  the single-box analogue of an executor's resource envelope.
+* **Interleaved pairs**: legs run N,4N,N,4N,... so any external host
+  load hits both levels equally; the reported number is the min over
+  pairs per leg (steady state), on top of min-of-3 in-JVM trials.
+* **Loadavg gate**: each leg waits for 1-min loadavg below a threshold
+  before starting (the sandbox host carries external load we don't
+  control; round 1 recorded identical legs varying 59.5 <-> 207.6 s).
+* **Compute-dominated input**: SPARK_GRAFT_ROUTES (default 50000 ->
+  ~202k pages) keeps each leg's measured section long enough that
+  fixed driver/JVM overhead is amortized (Amdahl at toy scale was
+  round-1 confound #3).
+* The pages parquet is pre-generated once at full parallelism, so the
+  pinned legs measure the pipeline, not the generator.
 
 Usage: python scaling.py [n_routes]
+Env: SPARK_GRAFT_SCALE_N (default 2), SPARK_GRAFT_SCALE_PAIRS (default 2),
+     SPARK_GRAFT_LOADAVG_MAX (default 4.0).
 """
 
 from __future__ import annotations
@@ -20,44 +35,60 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_bench(cpus: int, routes: int) -> dict:
+def wait_for_quiet(max_load: float, timeout_s: float = 900.0) -> float:
+    t0 = time.time()
+    while True:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        if load1 <= max_load or time.time() - t0 > timeout_s:
+            return load1
+        time.sleep(20)
+
+
+def run_bench(cpus: int, routes: int, pin: bool = True) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_ROUTES"] = str(routes)
+    env["SPARK_GRAFT_SKIP_SUITE"] = "1"
     env.setdefault("SPARK_GRAFT_GEO_TRIALS", "3")
-    out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    )
+    cmd = [sys.executable, os.path.join(HERE, "bench.py")]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main():
     routes = int(sys.argv[1]) if len(sys.argv) > 1 else int(
-        os.environ.get("SPARK_GRAFT_ROUTES", "20000")
+        os.environ.get("SPARK_GRAFT_ROUTES", "50000")
     )
-    # warm the pages cache in a throwaway run? bench generates on miss —
-    # generate via first run; report uses its own timing fields only.
-    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     n4 = 4 * n
-    # best-of-2 fresh-JVM runs per level: this sandbox carries external
-    # host load (loadavg ~12 while idle), so min-of-trials is the
-    # fairest steady-state estimate
-    rN = min(
-        (run_bench(n, routes) for _ in range(1)),
-        key=lambda r: r["queries"]["geo_pipeline_pages"],
+    pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
+    max_load = float(os.environ.get("SPARK_GRAFT_LOADAVG_MAX", "4.0"))
+
+    # pre-generate pages at full parallelism (unpinned)
+    env = dict(os.environ)
+    env["SPARK_GRAFT_GEN_ONLY"] = "1"
+    env["SPARK_GRAFT_ROUTES"] = str(routes)
+    subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
     )
-    r4N = min(
-        (run_bench(n4, routes) for _ in range(1)),
-        key=lambda r: r["queries"]["geo_pipeline_pages"],
-    )
+
+    legs_N, legs_4N, loads = [], [], []
+    for p in range(pairs):
+        loads.append(wait_for_quiet(max_load))
+        legs_N.append(run_bench(n, routes))
+        loads.append(wait_for_quiet(max_load))
+        legs_4N.append(run_bench(n4, routes))
+
+    rN = min(legs_N, key=lambda r: r["queries"]["geo_pipeline_pages"])
+    r4N = min(legs_4N, key=lambda r: r["queries"]["geo_pipeline_pages"])
     tN = rN["queries"]["geo_pipeline_pages"]
     t4N = r4N["queries"]["geo_pipeline_pages"]
     pN = rN["pages"] / tN
@@ -67,6 +98,11 @@ def main():
         "routes": routes,
         "pages": rN["pages"],
         "n_cores": n,
+        "pairs": pairs,
+        "pinned": True,
+        "loadavg_at_legs": loads,
+        "all_tN": [r["queries"]["geo_pipeline_pages"] for r in legs_N],
+        "all_t4N": [r["queries"]["geo_pipeline_pages"] for r in legs_4N],
         "pages_per_sec_N": round(pN, 2),
         "pages_per_sec_4N": round(p4N, 2),
         "tN_sec": tN,
@@ -76,8 +112,8 @@ def main():
     print(json.dumps(result))
     with open(os.path.join(HERE, "BENCH-SCALING.md"), "a") as f:
         f.write(
-            f"\n| {routes} | {rN['pages']} | local[{n}]: {pN:.1f} | "
-            f"local[{n4}]: {p4N:.1f} | {tN:.1f}s | {t4N:.1f}s | {eff:.3f} |"
+            f"\n| {routes} | {rN['pages']} | local[{n}] pinned: {pN:.1f} | "
+            f"local[{n4}] pinned: {p4N:.1f} | {tN:.1f}s | {t4N:.1f}s | {eff:.3f} |"
         )
     return 0
 

@@ -63,8 +63,8 @@ def test_query_matches_oracle(spark, duck, name):
     order = [duck_cols.index(c) for c in spark_cols]
     want = _rows([tuple(row[i] for i in order) for row in res.fetchall()])
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
-    assert got == want, f"{name}: values differ (first diff: "
-    f"{next(((a, b) for a, b in zip(got, want) if a != b), None)})"
+    first_diff = next(((a, b) for a, b in zip(got, want) if a != b), None)
+    assert got == want, f"{name}: values differ (first diff: {first_diff})"
 
 
 def test_entry_smoke(spark):
