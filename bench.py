@@ -68,6 +68,46 @@ def _time(fn):
     return out, time.time() - t0
 
 
+def _tree_cpu_seconds() -> float:
+    """Total CPU seconds (user+sys) burned so far by this process and
+    every live descendant (the Spark JVM and reused Python workers are
+    children of this driver). Deltas of this across a timed section
+    measure the WORK done, independent of how many cores ran it —
+    the scaling harness uses it for the CPU-parity decomposition
+    (equal work at N and 4N cores ⇒ the wall-clock gap is scheduling /
+    contention, not extra computation)."""
+    tick = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    procs: dict[int, tuple[int, float]] = {}
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid_s}/stat") as f:
+                st = f.read()
+        except OSError:
+            continue
+        # comm may contain spaces/parens: split after the last ')'
+        rest = st.rsplit(")", 1)[1].split()
+        ppid = int(rest[1])
+        cpu = (int(rest[11]) + int(rest[12])) / tick  # utime + stime
+        # cutime/cstime (reaped children) counted on the parent
+        cpu += (int(rest[13]) + int(rest[14])) / tick
+        procs[int(pid_s)] = (ppid, cpu)
+    total, frontier = 0.0, {me}
+    while frontier:
+        nxt = set()
+        for pid, (ppid, cpu) in procs.items():
+            if ppid in frontier:
+                nxt.add(pid)
+        for pid in frontier:
+            if pid in procs:
+                total += procs[pid][1]
+        procs = {p: v for p, v in procs.items() if p not in frontier}
+        frontier = nxt
+    return total
+
+
 def main():
     from osmptparser_spark.session import get_spark
 
@@ -156,7 +196,12 @@ def main():
     # fairest steady-state estimate (used by scaling.py).
     geo_pipeline(pages.sample(0.05, seed=0))
     trials = int(os.environ.get("SPARK_GRAFT_GEO_TRIALS", "2"))
-    t_geo = min(_time(lambda: geo_pipeline(pages))[1] for _ in range(trials))
+    runs = []  # (wall_sec, cpu_sec) per trial; report the min-wall trial
+    for _ in range(trials):
+        c0 = _tree_cpu_seconds()
+        _, dt = _time(lambda: geo_pipeline(pages))
+        runs.append((dt, _tree_cpu_seconds() - c0))
+    t_geo, cpu_geo = min(runs)
     timings["geo_pipeline_pages"] = round(t_geo, 3)
 
     # ---- operator suite over driver testdata ------------------------------
@@ -206,6 +251,10 @@ def main():
         "pages": n_pages,
         "routes": N_ROUTES,
         "cpus": CPUS,
+        "geo_cpu_sec": round(cpu_geo, 2),
+        "geo_trials": [
+            {"wall": round(w, 2), "cpu": round(c, 2)} for w, c in runs
+        ],
     }
     print(json.dumps(result))
     return 0

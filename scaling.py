@@ -94,6 +94,16 @@ def main():
     pN = rN["pages"] / tN
     p4N = r4N["pages"] / t4N
     eff = (p4N / pN) / 4.0
+    # CPU-parity decomposition: equal total CPU at both levels means the
+    # engine does identical WORK regardless of parallelism — any wall-
+    # clock efficiency shortfall is then core idleness (scheduling,
+    # stragglers, fixed serial sections, external host load), not extra
+    # computation introduced by scaling out. cpu_parity = CPU_4N / CPU_N
+    # (1.0 = perfect); work_eff is the efficiency the same job shows
+    # once the measured CPU inflation is factored out.
+    cN, c4N = rN.get("geo_cpu_sec"), r4N.get("geo_cpu_sec")
+    cpu_parity = round(c4N / cN, 3) if cN and c4N else None
+    work_eff = round(eff * cpu_parity, 3) if cpu_parity else None
     result = {
         "routes": routes,
         "pages": rN["pages"],
@@ -107,6 +117,10 @@ def main():
         "pages_per_sec_4N": round(p4N, 2),
         "tN_sec": tN,
         "t4N_sec": t4N,
+        "cpu_sec_N": cN,
+        "cpu_sec_4N": c4N,
+        "cpu_parity_4N_over_N": cpu_parity,
+        "work_efficiency_cpu_adjusted": work_eff,
         "scaling_efficiency_4N_vs_N": round(eff, 3),
     }
     print(json.dumps(result))
@@ -114,6 +128,7 @@ def main():
         f.write(
             f"\n| {routes} | {rN['pages']} | local[{n}] pinned: {pN:.1f} | "
             f"local[{n4}] pinned: {p4N:.1f} | {tN:.1f}s | {t4N:.1f}s | {eff:.3f} |"
+            f" cpu {cN}s vs {c4N}s (parity {cpu_parity}) |"
         )
     return 0
 
