@@ -68,6 +68,19 @@ def _time(fn):
     return out, time.time() - t0
 
 
+def _steal_seconds() -> float:
+    """Host-wide hypervisor steal time (seconds, all vCPUs summed).
+    This sandbox is an overcommitted VM with violent intermittent steal
+    storms — measured: the identical 2-second extraction job burned
+    6 CPU-s with 0 steal ticks and 975 CPU-s (39 s wall) during a
+    3828-tick storm, because starved vCPUs turn the JVM's spin-waits
+    into pure waste. Recording the per-trial steal delta makes each
+    bench number's cleanliness auditable and lets the scaling harness
+    retry polluted legs instead of averaging lies."""
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8]) / os.sysconf("SC_CLK_TCK")
+
+
 def _tree_cpu_seconds() -> float:
     """Total CPU seconds (user+sys) burned so far by this process and
     every live descendant (the Spark JVM and reused Python workers are
@@ -196,12 +209,22 @@ def main():
     # fairest steady-state estimate (used by scaling.py).
     geo_pipeline(pages.sample(0.05, seed=0))
     trials = int(os.environ.get("SPARK_GRAFT_GEO_TRIALS", "2"))
-    runs = []  # (wall_sec, cpu_sec) per trial; report the min-wall trial
-    for _ in range(trials):
-        c0 = _tree_cpu_seconds()
+    runs = []  # (wall, cpu, steal) per trial; report the min-wall trial
+    # steal-aware retry: if even the best trial overlapped a hypervisor
+    # steal STORM (measured here: a storm turns 6 CPU-s of work into
+    # 975 CPU-s of vCPU spinning at ~1 steal-sec per wall-sec), run
+    # extra trials — bounded. The threshold is a RATE (steal seconds
+    # per wall second): this host also carries continuous low-grade
+    # steal (~0.1-0.2 s/s) that an absolute cutoff would flag forever.
+    steal_rate_max = float(os.environ.get("SPARK_GRAFT_STEAL_RATE_MAX", "0.5"))
+    max_trials = max(trials, int(os.environ.get("SPARK_GRAFT_MAX_TRIALS", "5")))
+    while len(runs) < trials or (
+        len(runs) < max_trials and min(runs)[2] / max(min(runs)[0], 1e-9) > steal_rate_max
+    ):
+        c0, s0 = _tree_cpu_seconds(), _steal_seconds()
         _, dt = _time(lambda: geo_pipeline(pages))
-        runs.append((dt, _tree_cpu_seconds() - c0))
-    t_geo, cpu_geo = min(runs)
+        runs.append((dt, _tree_cpu_seconds() - c0, _steal_seconds() - s0))
+    t_geo, cpu_geo, steal_geo = min(runs)
     timings["geo_pipeline_pages"] = round(t_geo, 3)
 
     # ---- operator suite over driver testdata ------------------------------
@@ -252,8 +275,10 @@ def main():
         "routes": N_ROUTES,
         "cpus": CPUS,
         "geo_cpu_sec": round(cpu_geo, 2),
+        "geo_steal_sec": round(steal_geo, 2),
         "geo_trials": [
-            {"wall": round(w, 2), "cpu": round(c, 2)} for w, c in runs
+            {"wall": round(w, 2), "cpu": round(c, 2), "steal": round(s, 2)}
+            for w, c, s in runs
         ],
     }
     print(json.dumps(result))

@@ -62,6 +62,32 @@ def run_bench(cpus: int, routes: int, pin: bool = True) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def run_leg(cpus: int, routes: int, max_load: float, steal_rate_max: float,
+            retries: int = 2) -> dict:
+    """One pinned leg, re-run (up to ``retries`` times) while even its
+    BEST trial overlapped a hypervisor steal storm — measured on this
+    host: a steal burst turns 6 CPU-s of work into 975 CPU-s of vCPU
+    spinning, so a polluted trial measures the hypervisor, not the
+    engine. Storm = steal RATE above ``steal_rate_max`` seconds of
+    steal per wall second (the host's continuous background steal is
+    ~0.1-0.2 s/s; storms hit ~1 s/s)."""
+    best = None
+    for _ in range(retries + 1):
+        wait_for_quiet(max_load)
+        r = run_bench(cpus, routes)
+        if best is None or (
+            r["queries"]["geo_pipeline_pages"]
+            < best["queries"]["geo_pipeline_pages"]
+        ):
+            best = r
+        rate = r.get("geo_steal_sec", 0.0) / max(
+            r["queries"]["geo_pipeline_pages"], 1e-9
+        )
+        if rate <= steal_rate_max:
+            return r
+    return best
+
+
 def main():
     routes = int(sys.argv[1]) if len(sys.argv) > 1 else int(
         os.environ.get("SPARK_GRAFT_ROUTES", "50000")
@@ -80,12 +106,11 @@ def main():
         env=env, capture_output=True, text=True, check=True,
     )
 
-    legs_N, legs_4N, loads = [], [], []
+    steal_rate_max = float(os.environ.get("SPARK_GRAFT_STEAL_RATE_MAX", "0.5"))
+    legs_N, legs_4N = [], []
     for p in range(pairs):
-        loads.append(wait_for_quiet(max_load))
-        legs_N.append(run_bench(n, routes))
-        loads.append(wait_for_quiet(max_load))
-        legs_4N.append(run_bench(n4, routes))
+        legs_N.append(run_leg(n, routes, max_load, steal_rate_max))
+        legs_4N.append(run_leg(n4, routes, max_load, steal_rate_max))
 
     rN = min(legs_N, key=lambda r: r["queries"]["geo_pipeline_pages"])
     r4N = min(legs_4N, key=lambda r: r["queries"]["geo_pipeline_pages"])
@@ -110,9 +135,12 @@ def main():
         "n_cores": n,
         "pairs": pairs,
         "pinned": True,
-        "loadavg_at_legs": loads,
         "all_tN": [r["queries"]["geo_pipeline_pages"] for r in legs_N],
         "all_t4N": [r["queries"]["geo_pipeline_pages"] for r in legs_4N],
+        "steal_sec_N": rN.get("geo_steal_sec"),
+        "steal_sec_4N": r4N.get("geo_steal_sec"),
+        "all_steal_N": [r.get("geo_steal_sec") for r in legs_N],
+        "all_steal_4N": [r.get("geo_steal_sec") for r in legs_4N],
         "pages_per_sec_N": round(pN, 2),
         "pages_per_sec_4N": round(p4N, 2),
         "tN_sec": tN,
@@ -128,7 +156,8 @@ def main():
         f.write(
             f"\n| {routes} | {rN['pages']} | local[{n}] pinned: {pN:.1f} | "
             f"local[{n4}] pinned: {p4N:.1f} | {tN:.1f}s | {t4N:.1f}s | {eff:.3f} |"
-            f" cpu {cN}s vs {c4N}s (parity {cpu_parity}) |"
+            f" cpu {cN}s vs {c4N}s (parity {cpu_parity}), "
+            f"steal {rN.get('geo_steal_sec')}s/{r4N.get('geo_steal_sec')}s |"
         )
     return 0
 
