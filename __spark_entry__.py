@@ -710,8 +710,10 @@ def _area_city_entities():
 
 
 def _q_w6_pip(spark, sf_dir):
-    # W6: ray-cast point-in-polygon (bbox broadcast + salted numpy
-    # refine) against literal polygons; the oracle re-derives
+    # W6: ray-cast point-in-polygon against literal polygons, via the
+    # scale-safe default plan (polygon cell-cover explode -> shuffle
+    # EQUI-join on cell + bbox residual -> salted numpy refine; no
+    # broadcast nested loop anywhere). The oracle re-derives
     # containment in SQL (bbox tests for rectangles, half-plane sign
     # tests for the triangle) — a genuinely independent formulation.
     from osmptparser_spark.operators.spatial import point_in_polygon_join

@@ -84,6 +84,62 @@ def covering_cells_udf(res: int, pad_m: float, ring: int):
     return cov
 
 
+def polygon_cover_cells(
+    ring_lat: np.ndarray,
+    ring_lon: np.ndarray,
+    res: int,
+    max_cover_cells: int = 200_000,
+) -> np.ndarray:
+    """Distinct cells whose union provably covers the polygon's bbox
+    (hence the polygon) at ``res``.
+
+    Construction: sample the bbox on a grid dense enough that every
+    bbox point lies within ``pad = ring_guaranteed_m(2, res)`` of a
+    sample, then take each sample's multi-face encodings plus a 2-ring
+    — the same primitive ``covering_cells_udf`` builds on, so the
+    guarantee (any point q within pad of a sample has its home cell in
+    the set, across icosahedron face boundaries) carries over. A point
+    P in the bbox is within pad of its nearest sample, so
+    ``latlng_to_cell(P) ∈ cover`` — the downstream cell equi-join can
+    only over-select, never miss.
+
+    ``max_cover_cells`` guards against a res too fine for the polygon's
+    extent (cover size ~ bbox_area / cell_area): callers should coarsen
+    ``res`` for continent-sized polygons rather than explode 10^7 cells.
+    """
+    lat_min, lat_max = float(ring_lat.min()), float(ring_lat.max())
+    lon_min, lon_max = float(ring_lon.min()), float(ring_lon.max())
+    pad_m = h3x.ring_guaranteed_m(2, res)
+    # grid diagonal/2 = 0.9 * sqrt(2)/2 * pad ~= 0.64 pad < pad
+    d_m = 0.9 * pad_m
+    dlat = d_m / 111_320.0
+    coslat = max(
+        np.cos(np.radians(max(abs(lat_min), abs(lat_max)))), 0.01
+    )
+    dlon = d_m / (111_320.0 * coslat)
+    n_lat = int((lat_max - lat_min) / dlat) + 2
+    n_lon = int((lon_max - lon_min) / dlon) + 2
+    if n_lat * n_lon > 4 * max_cover_cells:
+        raise ValueError(
+            f"polygon bbox needs ~{n_lat * n_lon} cover samples at res "
+            f"{res} (> {4 * max_cover_cells}); use a coarser res for "
+            "polygons of this extent"
+        )
+    lats = np.linspace(lat_min, lat_max, n_lat)
+    lons = np.linspace(lon_min, lon_max, n_lon)
+    glat = np.repeat(lats, n_lon)
+    glon = np.tile(lons, n_lat)
+    _, cells = h3x.latlng_to_cells_multiface(glat, glon, res, pad_m)
+    _, rcells = h3x.grid_disk_arrays(np.unique(cells), 2)
+    cover = np.unique(rcells)
+    if len(cover) > max_cover_cells:
+        raise ValueError(
+            f"polygon cover has {len(cover)} cells at res {res} "
+            f"(> {max_cover_cells}); use a coarser res"
+        )
+    return cover
+
+
 def face_edge_m_udf():
     """(lat, lon) -> great-circle meters to the nearest face boundary
     (see h3x.face_edge_distance_m)."""

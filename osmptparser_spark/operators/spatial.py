@@ -276,44 +276,106 @@ def point_in_polygon_join(
     point_id: str = "id",
     poly_id: str = "poly_id",
     salt: int = 16,
+    strategy: str = "cells",
+    max_cover_cells: int = 200_000,
 ) -> DataFrame:
     """W6: (point, polygon) containment pairs.
 
     ``polygons``: poly_id BIGINT, ring ARRAY<STRUCT<lon,lat>> (closed).
-    Candidates: polygon bounding boxes broadcast and range-joined on
-    lat/lon (fine for dim-table-sized polygon sets, e.g. admin areas);
-    refine: numpy ray casting inside applyInPandas over (poly, salt)
+
+    Candidate strategies (both refine with the same salted numpy
+    ray-cast; the result set is identical):
+
+    * ``"cells"`` (default, the 100-TB-safe plan): each polygon emits a
+      provably-covering set of H3X cells at ``res``
+      (``polygon_cover_cells``), exploded into (cell, poly) rows; the
+      point side computes one home cell per point and the candidate
+      stage is a plain shuffle hash EQUI-join on cell with the bbox
+      kept as a cheap residual predicate. No broadcast of either side,
+      no nested-loop — both tables can be arbitrarily large, work
+      scales with true spatial overlap.
+    * ``"broadcast"``: polygon bounding boxes broadcast and range-
+      joined on lat/lon. Fewer jobs and no per-polygon cover cost —
+      the right optimizer choice when ``polygons`` is a dim table
+      (admin areas), and the plan Catalyst cannot pick by itself
+      because the predicate is a range, not an equality.
+
+    Refine: numpy ray casting inside applyInPandas over (poly, salt)
     groups. The ray cast is per-point, so salting the candidate set is
     result-neutral — without it a country-sized polygon with 10^9
     candidate points is ONE straggler task holding one pandas frame;
     with it the hot polygon spreads over ``salt`` tasks.
     """
-    polys = polygons.select(
-        poly_id,
-        "ring",
+    bbox_cols = [
         F.array_min(F.transform("ring", lambda p: p["lat"])).alias("_lat_min"),
         F.array_max(F.transform("ring", lambda p: p["lat"])).alias("_lat_max"),
         F.array_min(F.transform("ring", lambda p: p["lon"])).alias("_lon_min"),
         F.array_max(F.transform("ring", lambda p: p["lon"])).alias("_lon_max"),
-    )
+    ]
     pts = points.select(
         F.col(point_id).alias("point_id"),
         F.col("lat").alias("p_lat"),
         F.col("lon").alias("p_lon"),
     )
-    cands = pts.join(
-        F.broadcast(polys),
+    in_bbox = (
         (F.col("p_lat") >= F.col("_lat_min"))
         & (F.col("p_lat") <= F.col("_lat_max"))
         & (F.col("p_lon") >= F.col("_lon_min"))
-        & (F.col("p_lon") <= F.col("_lon_max")),
-    ).select(
-        "point_id",
-        "p_lat",
-        "p_lon",
-        poly_id,
-        "ring",
-        F.pmod(F.xxhash64("point_id"), F.lit(salt)).alias("_salt"),
+        & (F.col("p_lon") <= F.col("_lon_max"))
+    )
+    if strategy == "broadcast":
+        polys = polygons.select(poly_id, "ring", *bbox_cols)
+        cands = pts.join(F.broadcast(polys), in_bbox).select(
+            "point_id", "p_lat", "p_lon", poly_id, "ring"
+        )
+    elif strategy == "cells":
+        from ..functions.tiling import polygon_cover_cells
+
+        cover_ddl = (
+            f"{poly_id} BIGINT, _cell BIGINT, _lat_min DOUBLE, "
+            "_lat_max DOUBLE, _lon_min DOUBLE, _lon_max DOUBLE"
+        )
+
+        def gen_cover(batches):
+            for pdf in batches:
+                out = []
+                for pid, ring in zip(pdf[poly_id], pdf["ring"]):
+                    ry = np.array([p["lat"] for p in ring])
+                    rx = np.array([p["lon"] for p in ring])
+                    cover = polygon_cover_cells(ry, rx, res, max_cover_cells)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                poly_id: int(pid),
+                                "_cell": cover.astype("int64"),
+                                "_lat_min": ry.min(),
+                                "_lat_max": ry.max(),
+                                "_lon_min": rx.min(),
+                                "_lon_max": rx.max(),
+                            }
+                        )
+                    )
+                yield pd.concat(out) if out else pd.DataFrame(
+                    columns=[
+                        poly_id, "_cell", "_lat_min", "_lat_max",
+                        "_lon_min", "_lon_max",
+                    ]
+                )
+
+        cover = polygons.select(poly_id, "ring").mapInPandas(gen_cover, cover_ddl)
+        cands = (
+            _with_cell(pts, res, "p_lat", "p_lon", "_cell")
+            .join(cover, "_cell")
+            .filter(in_bbox)
+            # re-attach rings by key (equi-join; AQE broadcasts if small)
+            .join(polygons.select(poly_id, "ring"), poly_id)
+            .select("point_id", "p_lat", "p_lon", poly_id, "ring")
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    cands = cands.withColumn(
+        "_salt", F.pmod(F.xxhash64("point_id"), F.lit(salt))
     )
 
     def refine(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -130,6 +130,78 @@ class TestSaltedJoin:
 
 
 class TestPointInPolygon:
+    def test_cells_strategy_no_broadcast_nested_loop(self, spark, queries_df):
+        # the scale contract: candidate generation is an equi-join on
+        # cell, never a BroadcastNestedLoopJoin over the point table —
+        # with a LARGE polygon table the broadcast plan is a
+        # scale-killer; the cells plan must not contain one.
+        polys = []
+        for pid in range(60):
+            cx, cy = -79.5 + 0.01 * pid, -1.5 + 0.005 * pid
+            ring = [
+                {"lon": cx, "lat": cy},
+                {"lon": cx + 0.1, "lat": cy},
+                {"lon": cx + 0.1, "lat": cy + 0.1},
+                {"lon": cx, "lat": cy + 0.1},
+                {"lon": cx, "lat": cy},
+            ]
+            polys.append((pid, ring))
+        polys_df = spark.createDataFrame(
+            polys, "poly_id BIGINT, ring ARRAY<STRUCT<lon: DOUBLE, lat: DOUBLE>>"
+        )
+        out = sp.point_in_polygon_join(queries_df, polys_df, strategy="cells")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        # and the broadcast strategy (dim-table optimizer choice) does use one
+        out_b = sp.point_in_polygon_join(queries_df, polys_df, strategy="broadcast")
+        plan_b = out_b._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan_b
+
+    def test_cells_strategy_covers_face_boundary_polygon(self, spark):
+        # polygon straddling an icosahedron face edge ((8.37, -156.79)
+        # is ~330 m from a boundary): the cover must include home cells
+        # on BOTH faces, so points across the edge still candidate-join
+        cx, cy = -156.78861418, 8.36629774
+        n = 24
+        angles = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        ring = [
+            {"lon": float(cx + 0.3 * np.cos(a)), "lat": float(cy + 0.3 * np.sin(a))}
+            for a in angles
+        ]
+        ring.append(ring[0])
+        polys_df = spark.createDataFrame(
+            [(1, ring)], "poly_id BIGINT, ring ARRAY<STRUCT<lon: DOUBLE, lat: DOUBLE>>"
+        )
+        rng = np.random.default_rng(5)
+        plat = rng.uniform(cy - 0.5, cy + 0.5, 400)
+        plon = rng.uniform(cx - 0.5, cx + 0.5, 400)
+        pts_df = spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(plat, plon))],
+            "id BIGINT, lat DOUBLE, lon DOUBLE",
+        )
+        rx = np.array([p["lon"] for p in ring])
+        ry = np.array([p["lat"] for p in ring])
+        want = {(int(i), 1) for i in np.where(sp._ray_cast(plon, plat, rx, ry))[0]}
+        for strat in ("cells", "broadcast"):
+            got = {
+                (r.point_id, r.poly_id)
+                for r in sp.point_in_polygon_join(
+                    pts_df, polys_df, res=7, strategy=strat
+                ).collect()
+            }
+            assert got == want, strat
+        assert len(want) > 50
+
+    def test_cover_cells_res_guard(self):
+        from osmptparser_spark.functions.tiling import polygon_cover_cells
+
+        # continent-sized bbox at res 9 must refuse, not explode
+        with pytest.raises(ValueError, match="coarser res"):
+            polygon_cover_cells(
+                np.array([0.0, 40.0]), np.array([0.0, 40.0]), 9,
+                max_cover_cells=10_000,
+            )
+
     def test_matches_ray_cast_oracle(self, spark, queries_df):
         # seeded polygons over the bbox (convex-ish stars around centers)
         polys = []
@@ -148,17 +220,20 @@ class TestPointInPolygon:
         polys_df = spark.createDataFrame(
             polys, "poly_id BIGINT, ring ARRAY<STRUCT<lon: DOUBLE, lat: DOUBLE>>"
         )
-        got = {
-            (r.point_id, r.poly_id)
-            for r in sp.point_in_polygon_join(queries_df, polys_df).collect()
-        }
         want = set()
         for pid, ring in polys:
             rx = np.array([p["lon"] for p in ring])
             ry = np.array([p["lat"] for p in ring])
             inside = sp._ray_cast(Q_LON, Q_LAT, rx, ry)
             want |= {(int(i), pid) for i in np.where(inside)[0]}
-        assert got == want
+        for strat in ("cells", "broadcast"):
+            got = {
+                (r.point_id, r.poly_id)
+                for r in sp.point_in_polygon_join(
+                    queries_df, polys_df, strategy=strat
+                ).collect()
+            }
+            assert got == want, strat
         assert len(want) > 0
 
 
