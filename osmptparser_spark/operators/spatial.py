@@ -138,15 +138,23 @@ def knn_join(
     query_id: str = "id",
     cand_id: str = "id",
     exact_fallback: bool = True,
+    rescue_max_queries: int | None = None,
 ) -> DataFrame:
     """W7: k nearest candidates per query.
 
     Scale path: k-ring candidate generation -> cell equi-join -> exact
-    haversine -> row_number window top-k. Queries whose ring holds
-    fewer than k candidates (sparse regions / face edges) fall back to
-    a brute-force broadcast pass so the result is EXACT whenever the
-    true k-NN lie within the ring; set exact_fallback=False to skip the
-    rescue pass at extreme scale.
+    haversine -> row_number window top-k. Queries whose result is not
+    provably complete escalate through progressively wider CELL joins
+    (never all-pairs): (2) a 2x ring at res-1, (3) a face-safe
+    multiface covering sweep at res-2 over a ~4x radius. Only the
+    remainder of THAT — queries with fewer than k candidates inside a
+    multi-hundred-km disk, structurally rare at any density — hits the
+    brute-force pass, and the brute pass broadcasts the PENDING QUERY
+    side (bounded by the rescue remainder), never the candidate table,
+    with a per-partition partial top-k so the shuffle carries at most
+    k rows per (query, partition). Set ``rescue_max_queries`` to
+    assert the remainder is small before the brute pass runs (adds one
+    count job), or exact_fallback=False to skip rescue entirely.
     """
     q = (
         _with_cell(queries, res, "lat", "lon", "_cell0")
@@ -223,33 +231,118 @@ def knn_join(
         exact_fallback=False,
     )
     done2 = _complete(wide, ring_guaranteed_m(ring * 2, max(res - 1, 0)))
+    pending2 = pending1.join(done2, "query_id", "left_anti")
+
+    # Third escalation: face-safe multiface covering sweep — still a
+    # cell EQUI-join, at a coarser res over a ~4x radius. Because the
+    # cover crosses icosahedron faces (unlike k-rings), completeness
+    # needs NO face-edge cap: every candidate within r3 provably
+    # appears, so found >= k with kth dist <= r3 is exact.
+    res3 = max(res - 2, 0)
+    r3 = 4.0 * ring_guaranteed_m(ring * 2, max(res - 1, 0))
+    from ..functions.h3x import ring_for_radius
+
+    ring3 = ring_for_radius(r3, res3)
+    q3 = pending2.withColumn(
+        "_cells", covering_cells_udf(res3, r3, ring3)(F.col("lat"), F.col("lon"))
+    ).select(
+        "query_id",
+        F.col("lat").alias("q_lat"),
+        F.col("lon").alias("q_lon"),
+        F.explode("_cells").alias("_cell"),
+    )
+    c3 = _with_cell(candidates, res3, "lat", "lon", "_cell").select(
+        F.col(cand_id).alias("cand_id"),
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+        "_cell",
+    )
+    topk3 = (
+        q3.join(c3, "_cell")
+        .dropDuplicates(["query_id", "cand_id"])
+        .withColumn("dist_m", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "dist_m", "rank")
+    )
+    done3 = (
+        topk3.groupBy("query_id")
+        .agg(F.count("*").alias("_n"), F.max("dist_m").alias("_d"))
+        .filter((F.col("_n") >= k) & (F.col("_d") <= F.lit(r3)))
+        .select("query_id")
+    )
     short = (
-        pending1.join(done2, "query_id", "left_anti")
+        pending2.join(done3, "query_id", "left_anti")
         .select(
             "query_id",
             F.col("lat").alias("q_lat"),
             F.col("lon").alias("q_lon"),
         )
     )
-    brute = (
-        short.crossJoin(
-            F.broadcast(
-                candidates.select(
-                    F.col(cand_id).alias("cand_id"),
-                    F.col("lat").alias("c_lat"),
-                    F.col("lon").alias("c_lon"),
-                )
+    if rescue_max_queries is not None:
+        n_short = short.count()
+        if n_short > rescue_max_queries:
+            raise ValueError(
+                f"kNN brute-force rescue remainder has {n_short} queries "
+                f"(> rescue_max_queries={rescue_max_queries}); widen "
+                "ring/res or pass exact_fallback=False"
             )
-        )
-        .withColumn("dist_m", dist)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "dist_m", "rank")
-    )
+    brute = _brute_knn(short, candidates, k, cand_id)
     return (
         topk.join(done1, "query_id", "left_semi")
         .unionByName(wide.join(done2, "query_id", "left_semi"))
+        .unionByName(topk3.join(done3, "query_id", "left_semi"))
         .unionByName(brute)
+    )
+
+
+def _brute_knn(
+    short: DataFrame, candidates: DataFrame, k: int, cand_id: str = "id"
+) -> DataFrame:
+    """Exact kNN for a SMALL pending-query set against an arbitrarily
+    large candidate table. The broadcast side is the query set (the
+    rescue remainder), NEVER the candidate table — the round-2 plan
+    broadcast all candidates, an executor OOM at 10^9 rows. The
+    candidate scan streams map-side; a per-(query, input-partition)
+    partial top-k (map-side complete, since each group lives in one
+    partition) bounds the shuffle to <= k rows per query per
+    partition; a final window merges the partials."""
+    pairs = (
+        candidates.select(
+            F.col(cand_id).alias("cand_id"),
+            F.col("lat").alias("c_lat"),
+            F.col("lon").alias("c_lon"),
+        )
+        .crossJoin(F.broadcast(short))
+        .withColumn(
+            "dist_m",
+            haversine_expr(
+                F.col("q_lat"), F.col("q_lon"), F.col("c_lat"), F.col("c_lon")
+            ),
+        )
+    )
+    partial = (
+        pairs.withColumn("_pid", F.spark_partition_id())
+        .groupBy("query_id", "_pid")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist_m", "cand_id"))),
+                1,
+                k,
+            ).alias("_tk")
+        )
+        .select("query_id", F.explode("_tk").alias("_t"))
+        .select(
+            "query_id",
+            F.col("_t.cand_id").alias("cand_id"),
+            F.col("_t.dist_m").alias("dist_m"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m"), F.col("cand_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "dist_m", "rank")
     )
 
 

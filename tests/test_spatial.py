@@ -72,6 +72,59 @@ class TestKnn:
         assert ok / len(golden) > 0.9
 
 
+class TestKnnRescue:
+    def test_sparse_candidates_exact_and_no_candidate_broadcast(self, spark):
+        # 40 queries scattered over ~2000 km, only 6 candidates: every
+        # escalation level (incl. the face-safe covering sweep) runs,
+        # most queries hit the brute pass — results must equal numpy
+        # brute force, and NO BroadcastExchange may carry the candidate
+        # table (the round-2 rescue broadcast all candidates).
+        rng = np.random.default_rng(3)
+        qlat = rng.uniform(-10, 10, 40)
+        qlon = rng.uniform(-70, -50, 40)
+        clat = rng.uniform(-10, 10, 6)
+        clon = rng.uniform(-70, -50, 6)
+        q_df = spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(qlat, qlon))],
+            "id BIGINT, lat DOUBLE, lon DOUBLE",
+        )
+        c_df = spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(clat, clon))],
+            "id BIGINT, lat DOUBLE, lon DOUBLE",
+        )
+        out = sp.knn_join(q_df, c_df, k=3, res=8, ring=2)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        import re
+
+        for m in re.finditer(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: (\[[^\]]*\])", plan):
+            assert "c_lat" not in m.group(1), m.group(1)
+        golden = {}
+        d = haversine_np(qlat[:, None], qlon[:, None], clat[None, :], clon[None, :])
+        for qi in range(len(qlat)):
+            order = np.lexsort((np.arange(len(clat)), d[qi]))
+            golden[qi] = [int(s) for s in order[:3]]
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.query_id, []).append((r.rank, r.cand_id))
+        got = {q: [c for _, c in sorted(v)] for q, v in got.items()}
+        assert got == golden
+
+    def test_rescue_max_queries_guard(self, spark):
+        rng = np.random.default_rng(4)
+        q_df = spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(
+                zip(rng.uniform(-40, 40, 30), rng.uniform(-170, 170, 30)))],
+            "id BIGINT, lat DOUBLE, lon DOUBLE",
+        )
+        c_df = spark.createDataFrame(
+            [(0, 0.0, 0.0), (1, 0.1, 0.1)], "id BIGINT, lat DOUBLE, lon DOUBLE"
+        )
+        with pytest.raises(ValueError, match="rescue_max_queries"):
+            sp.knn_join(q_df, c_df, k=2, res=8, ring=1, rescue_max_queries=1)
+
+
 class TestWithinDistance:
     def test_matches_numpy_oracle(self, queries_df, stops_df):
         radius = 2000.0
