@@ -752,6 +752,70 @@ _PIP_TRI = [
 ]
 
 
+def _q_pbf_decode(spark, sf_dir):
+    # S1-S3 (mod.rs:273-281 BlobReader loop, 403-411/477-485 re-reads):
+    # the PBF wire path end-to-end and self-contained — encode the
+    # deterministic mini-city with write_pbf (multi-block, zlib blobs),
+    # decode it back through the DISTRIBUTED reader (blob-index scan ->
+    # executor-side mapInPandas decode), and fingerprint every field
+    # kind: counts, id sums, coordinate checksum (exact: raw 1e-7
+    # lattice), way-ref / member sums, tag counts. Pinned-VALUES
+    # oracle. Round-trip unit tests cover per-entity equality; this row
+    # makes the source path part of the driver correctness gate.
+    import os
+    import tempfile
+
+    from osmptparser_spark.sources.pbf import read_pbf_spark, write_pbf
+
+    nodes, ways, rels = _area_city_entities()
+    rel_m = [
+        {
+            "id": r["id"],
+            "tags": r["tags"],
+            "members": [("", w, "way") for w in r["way_refs"]]
+            + [("stop", s, "node") for s in r["stop_refs"]],
+        }
+        for r in rels
+    ]
+    path = os.path.join(tempfile.gettempdir(), "osmpt_pbf_decode_q.pbf")
+    write_pbf(path, nodes, ways, rel_m, entities_per_block=10)
+    n, w, r = read_pbf_spark(spark, path)
+    nn = n.select(
+        F.lit("node").alias("kind"),
+        "id",
+        (F.round(F.col("lat") * 1e7) + F.round(F.col("lon") * 1e7))
+        .cast("long")
+        .alias("v"),
+        F.size("tags").alias("ntags"),
+    )
+    ww = w.select(
+        F.lit("way").alias("kind"),
+        "id",
+        F.aggregate("refs", F.lit(0).cast("long"), lambda a, x: a + x).alias("v"),
+        F.size("tags").alias("ntags"),
+    )
+    rr = r.select(
+        F.lit("relation").alias("kind"),
+        "id",
+        (
+            F.aggregate("way_refs", F.lit(0).cast("long"), lambda a, x: a + x)
+            + F.aggregate("stop_refs", F.lit(0).cast("long"), lambda a, x: a + x)
+        ).alias("v"),
+        F.size("tags").alias("ntags"),
+    )
+    return (
+        nn.unionByName(ww)
+        .unionByName(rr)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("id").alias("id_sum"),
+            F.sum("v").alias("v_sum"),
+            F.sum("ntags").cast("long").alias("n_tags"),
+        )
+    )
+
+
 def _q_w9_lineage(spark, sf_dir):
     # W9: 3-stage pipeline through LineageTracker (parquet checkpoints +
     # per-partition manifests); the query returns each stage's manifest
@@ -814,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "area_pipeline": _q_area_pipeline,
         "w6_pip": _q_w6_pip,
         "w9_lineage": _q_w9_lineage,
+        "pbf_decode": _q_pbf_decode,
     }
 
 
@@ -864,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_sink",
         "multimodal_features",
         "area_pipeline",
+        "pbf_decode",
     ):
         try:
             out[name] = _golden_values_sql(name)

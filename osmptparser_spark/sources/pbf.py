@@ -21,7 +21,7 @@ from __future__ import annotations
 import struct
 import zlib
 from dataclasses import dataclass, field
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, Iterable, Iterator, List, Tuple
 
 # --- protobuf wire primitives -------------------------------------------------
 
@@ -352,6 +352,172 @@ def read_pbf(path: str) -> BlockEntities:
         all_out.ways.extend(block.ways)
         all_out.relations.extend(block.relations)
     return all_out
+
+
+# --- PBF encode (writer) -------------------------------------------------------
+# Minimal OSM-PBF writer for the formats the reader supports: DenseNodes,
+# Ways, Relations, zlib blobs. Primary uses: self-contained round-trip
+# verification of the wire decoder (the `pbf_decode` driver query needs
+# no external .pbf file) and a PBF sink for engine entity tables.
+
+
+def _enc_varint(v: int) -> bytes:
+    out = bytearray()
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _enc_field(fno: int, payload: bytes) -> bytes:
+    """Length-delimited field (wire type 2)."""
+    return _enc_varint((fno << 3) | 2) + _enc_varint(len(payload)) + payload
+
+
+def _enc_vfield(fno: int, v: int) -> bytes:
+    """Varint field (wire type 0)."""
+    return _enc_varint(fno << 3) + _enc_varint(v)
+
+
+def _enc_packed(fno: int, vals, zig: bool = False, delta: bool = False) -> bytes:
+    buf = bytearray()
+    prev = 0
+    for v in vals:
+        x = int(v)
+        if delta:
+            x, prev = x - prev, x
+        if zig:
+            x = _enc_zigzag(x)
+        buf += _enc_varint(x)
+    return _enc_field(fno, bytes(buf))
+
+
+class _StringTable:
+    def __init__(self):
+        self._idx = {"": 0}
+        self._strings = [""]
+
+    def get(self, s: str) -> int:
+        i = self._idx.get(s)
+        if i is None:
+            i = len(self._strings)
+            self._idx[s] = i
+            self._strings.append(s)
+        return i
+
+    def encode(self) -> bytes:
+        return b"".join(
+            _enc_field(1, s.encode("utf-8")) for s in self._strings
+        )
+
+
+def _enc_block(nodes, ways, relations) -> bytes:
+    """One PrimitiveBlock: DenseNodes + Ways + Relations groups.
+    granularity=100 (raw = round(deg * 1e7)), offsets 0."""
+    st = _StringTable()
+    groups = []
+    if nodes:
+        ids = [n["id"] for n in nodes]
+        lats = [round(n["lat"] * 1e7) for n in nodes]
+        lons = [round(n["lon"] * 1e7) for n in nodes]
+        kvs = []
+        for n in nodes:
+            for k, v in n.get("tags", {}).items():
+                kvs += [st.get(k), st.get(v)]
+            kvs.append(0)
+        dense = (
+            _enc_packed(1, ids, zig=True, delta=True)
+            + _enc_packed(8, lats, zig=True, delta=True)
+            + _enc_packed(9, lons, zig=True, delta=True)
+        )
+        if any(n.get("tags") for n in nodes):
+            dense += _enc_packed(10, kvs)
+        groups.append(_enc_field(2, dense))
+    way_msgs = b""
+    for wy in ways:
+        msg = _enc_vfield(1, wy["id"])
+        tags = wy.get("tags", {})
+        if tags:
+            msg += _enc_packed(2, [st.get(k) for k in tags])
+            msg += _enc_packed(3, [st.get(v) for v in tags.values()])
+        msg += _enc_packed(8, wy["refs"], zig=True, delta=True)
+        way_msgs += _enc_field(3, msg)
+    if way_msgs:
+        groups.append(way_msgs)
+    rel_msgs = b""
+    type_ids = {"node": 0, "way": 1, "relation": 2}
+    for rel in relations:
+        msg = _enc_vfield(1, rel["id"])
+        tags = rel.get("tags", {})
+        if tags:
+            msg += _enc_packed(2, [st.get(k) for k in tags])
+            msg += _enc_packed(3, [st.get(v) for v in tags.values()])
+        members = rel.get("members", [])
+        if members:
+            msg += _enc_packed(8, [st.get(role) for role, _, _ in members])
+            msg += _enc_packed(9, [m for _, m, _ in members], zig=True, delta=True)
+            msg += _enc_packed(10, [type_ids[t] for _, _, t in members])
+        rel_msgs += _enc_field(4, msg)
+    if rel_msgs:
+        groups.append(rel_msgs)
+    block = _enc_field(1, st.encode())
+    for g in groups:
+        block += _enc_field(2, g)
+    block += _enc_vfield(17, 100)  # granularity
+    return block
+
+
+def _enc_blob(btype: str, raw: bytes) -> bytes:
+    z = zlib.compress(raw)
+    blob = _enc_vfield(2, len(raw)) + _enc_field(3, z)
+    header = _enc_field(1, btype.encode()) + _enc_vfield(3, len(blob))
+    return struct.pack(">I", len(header)) + header + blob
+
+
+def write_pbf(
+    path: str,
+    nodes: Iterable[dict] = (),
+    ways: Iterable[dict] = (),
+    relations: Iterable[dict] = (),
+    entities_per_block: int = 8000,
+) -> int:
+    """Write entities to an OSM-PBF file readable by :func:`read_pbf` /
+    :func:`read_pbf_spark` (and by the reference's osmpbf stack — same
+    wire format). Entities use the decoder's dict schema: nodes
+    {id, lat, lon, tags}; ways {id, tags, refs}; relations {id, tags,
+    members: [(role, member_id, type)]}. Returns the blob count.
+
+    Entities are chunked ``entities_per_block`` per PrimitiveBlock so a
+    multi-block file exercises the blob index and gives the
+    distributed reader real parallelism.
+    """
+    nodes, ways, relations = list(nodes), list(ways), list(relations)
+    header = _enc_field(4, b"DenseNodes")  # required_features
+    blobs = [_enc_blob("OSMHeader", header)]
+
+    def chunks(xs):
+        for i in range(0, len(xs), entities_per_block):
+            yield xs[i : i + entities_per_block]
+
+    for chunk in chunks(nodes):
+        blobs.append(_enc_blob("OSMData", _enc_block(chunk, [], [])))
+    for chunk in chunks(ways):
+        blobs.append(_enc_blob("OSMData", _enc_block([], chunk, [])))
+    for chunk in chunks(relations):
+        blobs.append(_enc_blob("OSMData", _enc_block([], [], chunk)))
+    with open(path, "wb") as f:
+        for b in blobs:
+            f.write(b)
+    return len(blobs)
 
 
 # --- Spark distributed read ----------------------------------------------------
