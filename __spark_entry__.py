@@ -395,14 +395,21 @@ def _q_minhash_near_dup(spark, sf_dir):
 
 
 def _q_simhash_near_dup(spark, sf_dir):
-    # Planted exact copies have identical simhash -> hamming 0, and the
-    # 4-chunk pigeonhole banding catches hamming<=3 with certainty, so
-    # restricted to planted pairs the output is fully SQL-predictable.
+    # Planted NEAR-pairs (one rare token prepended -> hamming spread
+    # 0-6 on this corpus), restricted to planted ids. The oracle
+    # recomputes the ENTIRE simhash pipeline in DuckDB — token
+    # polynomial hash mod 2^64 (HUGEINT hi/lo mulmod), splitmix64
+    # finalizer, per-bit votes, sign, hamming — so green certifies the
+    # hash bits themselves, not just the planted construction, and the
+    # 4-6-hamming pairs certify the <=3 cut. Pigeonhole 4-chunk
+    # banding catches hamming<=3 with certainty, so the operator's
+    # output on planted ids is exactly {pairs with true hamming <= 3}.
     from osmptparser_spark.operators.dedup import simhash_near_dup_pairs
 
     d = _t(spark, sf_dir, "documents")
     dups = d.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("zqxjv "), "text").alias("text"),
     )
     pairs = simhash_near_dup_pairs(
         d.select("doc_id", "text").unionByName(dups), max_hamming=3
@@ -895,6 +902,94 @@ _HAVERSINE_SQL = (
 )
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB recomputation of the FULL simhash pipeline (dedup.py:
+    _segment_hashes + _splitmix64 + bit votes) for the planted
+    near-pair cohort. uint64 wraparound arithmetic is emulated with
+    HUGEINT: products of two 64-bit values are decomposed hi/lo-32
+    (each partial < 2^64, sums < 2^65 — inside HUGEINT range) and
+    reduced mod 2^64; xor/shift run on non-negative HUGEINTs (shift ==
+    integer division). Token hash parity with the numpy path is
+    pinned in tests/test_entry_oracle.py."""
+    m64 = "18446744073709551616"
+    m32 = 4294967296
+
+    def mulmod(h, c):
+        c_hi, c_lo = c // m32, c % m32
+        return (
+            f"((({h}) % {m32}) * {c_lo} + (((({h}) % {m32}) * {c_hi} + "
+            f"(({h}) // {m32}) * {c_lo}) % {m32}) * {m32}) % {m64}"
+        )
+
+    def xshift(h, sh):
+        return (
+            f"xor(CAST({h} AS HUGEINT), CAST(({h}) // {1 << sh} AS HUGEINT))"
+        )
+
+    s0 = f"((h0 + 11400714819323198485) % {m64})"
+    x1 = xshift(s0, 30)
+    s1 = mulmod(x1, 0xBF58476D1CE4E5B9)
+    x2 = xshift(s1, 27)
+    s2 = mulmod(x2, 0x94D049BB133111EB)
+    splitmix = xshift(s2, 31)
+    powers = ", ".join(
+        f"({e}, CAST({pow(0x100000001B3, e, 1 << 64)} AS HUGEINT))"
+        for e in range(32)
+    )
+    pow2 = ", ".join(f"({b}, CAST({1 << b} AS HUGEINT))" for b in range(64))
+    return f"""
+        WITH powers(e, p) AS (VALUES {powers}),
+        pow2(b, v) AS (VALUES {pow2}),
+        base AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, 'zqxjv ' || text AS text
+            FROM documents WHERE doc_id % 20 = 0
+        ),
+        toks AS (
+            SELECT doc_id, tok, count(*) AS cnt FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM base
+            ) WHERE tok != '' GROUP BY doc_id, tok
+        ),
+        ntok AS (SELECT doc_id, sum(cnt) AS n FROM toks GROUP BY doc_id),
+        chars AS (
+            SELECT doc_id, tok, cnt, i,
+                   ascii(substring(tok, CAST(i AS INT), 1)) AS byte,
+                   length(tok) AS L
+            FROM toks, unnest(generate_series(1, length(tok))) AS u(i)
+        ),
+        ph AS (
+            SELECT doc_id, tok, cnt,
+                   CAST(sum((CAST(byte AS HUGEINT) * p) % {m64}) % {m64}
+                        AS HUGEINT) AS h0
+            FROM chars JOIN powers ON powers.e = L - i
+            GROUP BY doc_id, tok, cnt
+        ),
+        th AS (
+            SELECT doc_id, cnt, CAST({splitmix} AS HUGEINT) AS h FROM ph
+        ),
+        bits AS (
+            SELECT doc_id, b, sum(cnt * ((h // v) % 2)) AS ones
+            FROM th, pow2 GROUP BY doc_id, b
+        ),
+        simbits AS (
+            SELECT bits.doc_id, b,
+                   CASE WHEN 2 * ones - n > 0 THEN 1 ELSE 0 END AS bit
+            FROM bits JOIN ntok ON ntok.doc_id = bits.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hamming
+            FROM simbits a
+            JOIN simbits b ON b.doc_id = a.doc_id + 10000000 AND a.b = b.b
+            WHERE a.doc_id % 20 = 0
+            GROUP BY a.doc_id, b.doc_id
+        ) WHERE hamming <= 3
+    """
+
+
 def _sql_lit(v) -> str:
     if v is None:
         return "NULL"
@@ -1140,11 +1235,7 @@ def _oracle_sql_computed() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
         """,
-        "simhash_near_dup": """
-            SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
-                   CAST(0 AS BIGINT) AS hamming
-            FROM documents WHERE doc_id % 20 = 0
-        """,
+        "simhash_near_dup": _simhash_oracle_sql(),
         "ngram_jaccard": """
             WITH d AS (
                 SELECT doc_id, string_split(text, ' ') AS w
