@@ -201,6 +201,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket_size: int = 256,
     observation: Observation | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with EXACT jaccard verification.
 
@@ -212,9 +213,16 @@ def minhash_lsh_pairs(
     self-join (hot-bucket cap; pass an ``Observation`` to read how many
     rows it removed). Pathological exact-duplicate floods belong to
     ``dedup_exact``, which runs in one shuffle.
+
+    ``materialize`` forces the shared shingle cache with one cheap
+    count job up front: the signature path and BOTH verify joins read
+    it, and parallel query stages racing an unmaterialized cache each
+    recompute the Python shingling (measured ~2x end-to-end at sf0.1).
     """
     rows_per_band = num_hashes // bands
     sh = shingle_df(df, text_col, id_col, k).cache()
+    if materialize:
+        sh.count()
     sig = minhash_signatures(sh, num_hashes, seed)
     banded = sig.select(
         "doc_id",
