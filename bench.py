@@ -69,16 +69,34 @@ def _time(fn):
 
 
 def _steal_seconds() -> float:
-    """Host-wide hypervisor steal time (seconds, all vCPUs summed).
-    This sandbox is an overcommitted VM with violent intermittent steal
-    storms — measured: the identical 2-second extraction job burned
-    6 CPU-s with 0 steal ticks and 975 CPU-s (39 s wall) during a
-    3828-tick storm, because starved vCPUs turn the JVM's spin-waits
-    into pure waste. Recording the per-trial steal delta makes each
-    bench number's cleanliness auditable and lets the scaling harness
-    retry polluted legs instead of averaging lies."""
+    """Hypervisor steal time (seconds). This sandbox is an
+    overcommitted VM with violent intermittent steal storms — measured:
+    the identical 2-second extraction job burned 6 CPU-s with 0 steal
+    ticks and 975 CPU-s (39 s wall) during a 3828-tick storm, because
+    starved vCPUs turn the JVM's spin-waits into pure waste. Recording
+    the per-trial steal delta makes each bench number's cleanliness
+    auditable and lets the scaling harness retry polluted legs instead
+    of averaging lies.
+
+    When $SPARK_GRAFT_PINNED_CPUS is set (e.g. "0-7", the taskset
+    range scaling.py pins this process to), only those per-cpu steal
+    lines are summed — a storm on cores the leg does not use no longer
+    flags a genuinely clean trial. Unset, the host-wide sum is used
+    (conservative: over-flags, never under-flags)."""
+    tick = os.sysconf("SC_CLK_TCK")
+    pinned = os.environ.get("SPARK_GRAFT_PINNED_CPUS")
     with open("/proc/stat") as f:
-        return int(f.readline().split()[8]) / os.sysconf("SC_CLK_TCK")
+        lines = f.readlines()
+    if not pinned:
+        return int(lines[0].split()[8]) / tick
+    lo, _, hi = pinned.partition("-")
+    want = {f"cpu{i}" for i in range(int(lo), int(hi or lo) + 1)}
+    total = 0
+    for ln in lines[1:]:
+        parts = ln.split()
+        if parts and parts[0] in want:
+            total += int(parts[8])
+    return total / tick
 
 
 def _tree_cpu_seconds() -> float:

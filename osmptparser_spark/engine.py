@@ -68,13 +68,48 @@ def _finalize(relations: DataFrame, stitched: DataFrame, stops: DataFrame | None
     )
 
 
+def _barrier(df: DataFrame, kind: str) -> DataFrame:
+    """Materialization barrier for the prefiltered relation table.
+
+    MEMORY CONTRACT: what is materialized is the PREFILTERED relation
+    table — O(filter-matched relations), never O(pages) — so the
+    executor-memory cost is the filtered dimension table, typically
+    10^3-10^6 rows even at web scale (tests assert the measured cache
+    size; see test_spark_pipeline.py::test_cache_barrier_contract).
+
+    * ``"cache"`` (default): storage-level MEMORY; fastest, and the
+      size is observable via the storage registry.
+    * ``"localCheckpoint"``: executor-local checkpoint (memory+disk,
+      lineage truncated) — the constrained-memory deploy choice; lazy,
+      so plan-building stays side-effect free.
+    * ``"none"``: no barrier — ONLY for plans where the caller
+      guarantees the exact map filter is cheap, because without the
+      barrier Catalyst merges the exact from_json filter into the
+      line-scan predicate and evaluates it for EVERY line before the
+      cheap string conjuncts can reject it (measured: 240 s -> ~20 s
+      on 80k pages at local[16]).
+    """
+    if kind == "cache":
+        return df.cache()
+    if kind == "localCheckpoint":
+        return df.localCheckpoint(eager=False)
+    if kind == "none":
+        return df
+    raise ValueError(f"unknown barrier {kind!r}")
+
+
 def routes_from_pages(
-    pages: DataFrame, gap_m: float = 150.0, conditions: str | None = None
+    pages: DataFrame,
+    gap_m: float = 150.0,
+    conditions: str | None = None,
+    barrier: str = "cache",
 ) -> DataFrame:
     """pages -> extract -> filter -> stitch, with the tag filter pushed
     down as a string prefilter on raw relation lines (sound: may only
     over-select; the exact map filter runs after parsing). Avoids the
-    from_json-in-predicate storm over every line."""
+    from_json-in-predicate storm over every line. ``barrier`` picks the
+    materialization barrier for the prefiltered relations (see
+    :func:`_barrier` for the memory contract)."""
     from .functions.tagfilter import line_prefilter
     from .sources.pages import (
         extract_nodes_sql,
@@ -83,20 +118,18 @@ def routes_from_pages(
     )
 
     pre = line_prefilter(conditions) if conditions else None
-    # cache the prefiltered relation table: it is tiny, it is reused by
-    # three consumers, and the cache is a pushdown barrier — without it
-    # Catalyst merges the exact map filter into the line-scan predicate
-    # and the generated subexpression code evaluates from_json for EVERY
-    # line before the cheap startswith/contains conjuncts can reject it
-    # (measured: 240 s -> ~20 s on 80k pages at local[16])
-    relations = extract_relations_sql(pages, line_filter=pre).cache()
+    # barrier = reuse (three consumers) + pushdown barrier (_barrier)
+    relations = _barrier(extract_relations_sql(pages, line_filter=pre), barrier)
     ways = extract_ways_sql(pages)
     nodes = extract_nodes_sql(pages)
     return get_public_transports(nodes, ways, relations, gap_m, conditions)
 
 
 def areas_from_pages(
-    pages: DataFrame, gap_m: float = 150.0, conditions: str | None = None
+    pages: DataFrame,
+    gap_m: float = 150.0,
+    conditions: str | None = None,
+    barrier: str = "cache",
 ) -> DataFrame:
     from .functions.tagfilter import line_prefilter
     from .sources.pages import (
@@ -106,8 +139,8 @@ def areas_from_pages(
     )
 
     pre = line_prefilter(conditions) if conditions else None
-    # cache = reuse + pushdown barrier (see routes_from_pages)
-    relations = extract_relations_sql(pages, line_filter=pre).cache()
+    # barrier = reuse + pushdown barrier (see routes_from_pages)
+    relations = _barrier(extract_relations_sql(pages, line_filter=pre), barrier)
     # way branch needs the tag filter too -> same prefilter on way lines;
     # the relation-member semi-join re-reads ways unfiltered
     ways_all = extract_ways_sql(pages)
@@ -136,6 +169,27 @@ def areas_from_pages(
         "status_code", "status_detail",
     ]
     return rel_areas.select(*cols).unionByName(way_areas.select(*cols))
+
+
+def par_map(df: DataFrame, fn, schema: str) -> DataFrame:
+    """Parity convenience for the reference's ``par_map(custom_fn)``
+    (mod.rs:532-576: apply an arbitrary user function to every parsed
+    entity on a worker pool). Spark-first translation: any DataFrame
+    transformation IS the equivalent; this wrapper covers the
+    imperative case — a per-row Python function — by running it inside
+    ``mapInPandas`` (Arrow batches, executor-parallel, no driver
+    collect). ``fn``: dict -> dict; ``schema``: output DDL.
+
+    Prefer built-in column expressions whenever the function is
+    expressible — this wrapper is the slow path by design.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame([fn(row) for row in pdf.to_dict("records")])
+
+    return df.mapInPandas(gen, schema)
 
 
 def iter_rows(df: DataFrame, order_by: str = "id"):

@@ -1,10 +1,24 @@
-"""SparkSession factory with scale-oriented defaults.
+"""SparkSession factory with scale-oriented defaults + deploy profiles.
 
 AQE (runtime re-plan, partition coalescing, skew-join splitting),
 runtime Bloom-filter semi-join pushdown, and Arrow transfer are on by
 default — these replace the reference's hand-built optimizations
 (3-pass semi-join pushdown, bounded-channel backpressure, shared id
 sets; SURVEY.md §4).
+
+Two documented profiles (``get_spark(profile=...)``) so the 100-TB
+story is not hardcoded to sandbox defaults:
+
+* ``"local"`` — the test/bench envelope: one JVM, shuffle partitions
+  ~2x cores, driver does the work.
+* ``"cluster"`` — a 100-executor-class envelope: shuffle partitions
+  sized for AQE to COALESCE DOWN from (AQE merges small partitions at
+  runtime; starting high is the safe direction at 100 TB), advisory
+  partition size 128m, 10k-target parquet split sizes, broadcast
+  threshold raised to 64m (executors have multi-GB heaps; more dim
+  joins skip the shuffle entirely), shuffle-tracking dynamic
+  allocation. On a real deployment these land via spark-submit --conf
+  just as well — the profile documents WHICH knobs move and WHY.
 """
 
 from __future__ import annotations
@@ -25,12 +39,54 @@ DEFAULT_CONFS = {
     "spark.sql.session.timeZone": "UTC",
 }
 
+PROFILE_CONFS = {
+    "local": {},
+    "cluster": {
+        # AQE coalesces DOWN from this at runtime; undersizing is the
+        # unrecoverable direction at 100 TB (spill + 2 GB block limit)
+        "spark.sql.shuffle.partitions": "4096",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.files.maxPartitionBytes": "256m",
+        # multi-GB executor heaps: broadcast more dim tables
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
+        # elastic executor pool without an external shuffle service
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        # tolerate slow/lost nodes at 1000-executor scale
+        "spark.speculation": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+    },
+}
+
+
+def build_confs(
+    profile: str = "local",
+    shuffle_partitions: int | None = None,
+    confs: dict | None = None,
+) -> dict:
+    """Pure conf-assembly (unit-testable without a live session):
+    defaults <- profile <- explicit shuffle_partitions <- caller confs,
+    later wins."""
+    if profile not in PROFILE_CONFS:
+        raise ValueError(
+            f"unknown profile {profile!r}; choose from {sorted(PROFILE_CONFS)}"
+        )
+    merged = dict(DEFAULT_CONFS)
+    merged.update(PROFILE_CONFS[profile])
+    if shuffle_partitions is not None:
+        merged["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if confs:
+        merged.update(confs)
+    return merged
+
 
 def get_spark(
     app_name: str = "osmptparser-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     confs: dict | None = None,
+    profile: str = "local",
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -43,11 +99,6 @@ def get_spark(
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master:
         builder = builder.master(master)
-    merged = dict(DEFAULT_CONFS)
-    if shuffle_partitions is not None:
-        merged["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
-    if confs:
-        merged.update(confs)
-    for k, v in merged.items():
+    for k, v in build_confs(profile, shuffle_partitions, confs).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -123,3 +123,83 @@ class TestAreas:
         r = rows[0]
         assert r.id_type == "w" and r.status_code == 102
         assert [n for seg in r.node_seq for n in seg] == [1, 2, 3, 1]
+
+
+class TestCacheBarrierContract:
+    def _pages(self, spark, n_routes=30):
+        from osmptparser_spark.sources.synth import synth_pages_spark
+
+        return synth_pages_spark(spark, n_routes=n_routes, routes_per_task=10)
+
+    def test_cache_barrier_contract(self, spark):
+        """The load-bearing cache (engine._barrier 'cache') must hold
+        the PREFILTERED relation table only — O(matched relations),
+        never O(pages). Assert the measured storage size via the RDD
+        storage registry after materialization."""
+        from pyspark import StorageLevel
+
+        from osmptparser_spark.engine import routes_from_pages
+        from osmptparser_spark.functions.tagfilter import PTV2_FILTER
+
+        spark.catalog.clearCache()
+        pages = self._pages(spark)
+        pts = routes_from_pages(pages, 150.0, PTV2_FILTER)
+        n = pts.count()
+        assert n > 0
+        infos = spark._jsc.sc().getRDDStorageInfo()
+        cached = [i for i in infos if i.numCachedPartitions() > 0]
+        assert cached, "barrier cache was never materialized"
+        total_mb = sum(i.memSize() + i.diskSize() for i in cached) / 1e6
+        # 30 routes -> 30 relations; pages table is ~100x larger than
+        # this bound, so the assertion distinguishes the two regimes
+        assert total_mb < 8.0, f"cached {total_mb:.1f} MB: barrier holds more than relations"
+        spark.catalog.clearCache()
+
+    def test_local_checkpoint_barrier_same_result(self, spark):
+        from osmptparser_spark.engine import routes_from_pages
+        from osmptparser_spark.functions.tagfilter import PTV2_FILTER
+
+        pages = self._pages(spark)
+        a = routes_from_pages(pages, 150.0, PTV2_FILTER, barrier="cache")
+        b = routes_from_pages(pages, 150.0, PTV2_FILTER, barrier="localCheckpoint")
+        ka = sorted((r.id, r.status_code) for r in a.select("id", "status_code").collect())
+        kb = sorted((r.id, r.status_code) for r in b.select("id", "status_code").collect())
+        assert ka == kb and len(ka) > 0
+        spark.catalog.clearCache()
+
+    def test_unknown_barrier_rejected(self, spark):
+        from osmptparser_spark.engine import routes_from_pages
+
+        with pytest.raises(ValueError, match="barrier"):
+            routes_from_pages(self._pages(spark), 150.0, None, barrier="bogus")
+
+
+class TestParMap:
+    def test_par_map_matches_driver_loop(self, spark):
+        from osmptparser_spark.engine import par_map
+
+        df = spark.range(100).selectExpr("id", "id * 2 AS x")
+
+        def fn(row):
+            return {"id": row["id"], "y": row["x"] + 1}
+
+        got = sorted((r.id, r.y) for r in par_map(df, fn, "id BIGINT, y BIGINT").collect())
+        assert got == [(i, 2 * i + 1) for i in range(100)]
+
+
+class TestSessionProfiles:
+    def test_cluster_profile_confs(self):
+        from osmptparser_spark.session import DEFAULT_CONFS, build_confs
+
+        c = build_confs("cluster")
+        assert c["spark.sql.shuffle.partitions"] == "4096"
+        assert c["spark.sql.autoBroadcastJoinThreshold"] == "64m"
+        assert c["spark.sql.adaptive.enabled"] == "true"
+        # explicit args override the profile
+        c2 = build_confs("cluster", shuffle_partitions=77, confs={"spark.speculation": "false"})
+        assert c2["spark.sql.shuffle.partitions"] == "77"
+        assert c2["spark.speculation"] == "false"
+        # local profile is exactly the defaults
+        assert build_confs("local") == DEFAULT_CONFS
+        with pytest.raises(ValueError, match="profile"):
+            build_confs("warehouse")
