@@ -31,6 +31,21 @@ Cell id layout (63 usable bits, always positive):
   [4 bits mode=2][4 bits res 0-15][10 bits base = face*49+(a0+3)*7+(b0+3)]
   [45 bits: 15 digit slots of 3 bits, slot i = res i, unused = 7]
 
+UPGRADE SEAM (real Uber H3 ids): every consumer reaches this module
+through exactly five functions — ``latlng_to_cell``,
+``grid_disk_arrays``, ``cell_to_latlng``, ``cell_to_parent``,
+``cell_resolution`` — plus the two cross-face primitives above and the
+three metric helpers (``cell_pitch_m``, ``ring_for_radius``,
+``ring_guaranteed_m``). On a deployment where the ``h3`` wheel
+resolves, an adapter module implementing those signatures over
+``h3.latlng_to_cell``/``h3.grid_disk``/``h3.cell_to_latlng`` (with
+``face_edge_distance_m -> 0``-returning stub and multiface == plain
+encode, since real H3 rings DO cross icosa edges and pentagons) drops
+in without touching any operator: the operators only ever treat ids
+as opaque join keys and rely on the metric helpers for completeness
+bounds. Stored ids are engine-internal either way (documented in
+README); mixed-id datasets are not supported.
+
 Resolution scale is calibrated to H3: ~122 base-cell-sized hexes cover
 the sphere at res 0, cell area shrinks by 7x per res (res 9 ~ 0.1 km^2).
 """
