@@ -823,6 +823,74 @@ def _q_pbf_decode(spark, sf_dir):
     )
 
 
+def _q_text_fingerprint(spark, sf_dir):
+    # Winnowing document fingerprints (rolling byte-shingle polynomial
+    # hash -> per-window minima), exploded to (doc_id, fp) rows. The
+    # oracle recomputes every shingle hash in DuckDB (shared HUGEINT
+    # mulmod/splitmix machinery) and the window minima with a SQL
+    # window frame — an independent formulation of the exact values.
+    from osmptparser_spark.functions.text import fingerprint_df
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return fingerprint_df(d.select("doc_id", "text"), window=16, k=8).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+
+
+def _q_asof_join(spark, sf_dir):
+    # Backward as-of join (training-data feature pattern: latest
+    # purchase before each click, per user). Single-shuffle union +
+    # running-last implementation; the oracle is an independent
+    # correlated max-subquery formulation in DuckDB. Epoch-micros
+    # output (exact integers across engines).
+    from osmptparser_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        clicks, purchases, on="ts", by="user_id", right_cols=["event_id"]
+    )
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC, so the cast is
+    # instant-preserving and unix_micros matches DuckDB's epoch_us
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("asof_ts_us"),
+    )
+
+
+def _q_interval_join(spark, sf_dir):
+    # 1-D range join via bucket-grid equi-join (the temporal twin of
+    # the spatial cell join): every click inside the hour following a
+    # signup. Oracle = the raw range theta-join in DuckDB. Epoch-micros
+    # integers throughout.
+    from osmptparser_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # ts is NTZ; tz=UTC
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 10)).select(
+        F.col("event_id").alias("click_id"), us.alias("t")
+    )
+    hour_us = 3_600_000_000
+    signups = ev.filter(
+        (F.col("event_type") == "signup") & (F.col("user_id") < 10)
+    ).select(
+        F.col("event_id").alias("signup_id"),
+        us.alias("t_start"),
+        (us + hour_us).alias("t_end"),
+    )
+    return interval_join(
+        clicks, signups, on="t", start="t_start", end="t_end",
+        bucket_width=hour_us,
+    ).select("click_id", "signup_id")
+
+
 def _q_w9_lineage(spark, sf_dir):
     # W9: 3-stage pipeline through LineageTracker (parquet checkpoints +
     # per-partition manifests); the query returns each stage's manifest
@@ -886,6 +954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_pip": _q_w6_pip,
         "w9_lineage": _q_w9_lineage,
         "pbf_decode": _q_pbf_decode,
+        "text_fingerprint": _q_text_fingerprint,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
     }
 
 
@@ -902,40 +973,55 @@ _HAVERSINE_SQL = (
 )
 
 
+# --- uint64-wraparound hash emulation for DuckDB oracles --------------------
+# Products of two 64-bit values are decomposed hi/lo-32 (each partial
+# < 2^64, sums < 2^65 — inside HUGEINT range) and reduced mod 2^64;
+# xor/shift run on non-negative HUGEINTs (shift == integer division).
+
+_M64 = "18446744073709551616"
+_M32 = 4294967296
+
+
+def _sql_mulmod(h: str, c: int) -> str:
+    c_hi, c_lo = c // _M32, c % _M32
+    return (
+        f"((({h}) % {_M32}) * {c_lo} + (((({h}) % {_M32}) * {c_hi} + "
+        f"(({h}) // {_M32}) * {c_lo}) % {_M32}) * {_M32}) % {_M64}"
+    )
+
+
+def _sql_xshift(h: str, sh: int) -> str:
+    return f"xor(CAST({h} AS HUGEINT), CAST(({h}) // {1 << sh} AS HUGEINT))"
+
+
+def _sql_splitmix(h0: str) -> str:
+    """splitmix64 finalizer over a non-negative HUGEINT expr (exactly
+    dedup._splitmix64)."""
+    s0 = f"((({h0}) + 11400714819323198485) % {_M64})"
+    x1 = _sql_xshift(s0, 30)
+    s1 = _sql_mulmod(x1, 0xBF58476D1CE4E5B9)
+    x2 = _sql_xshift(s1, 27)
+    s2 = _sql_mulmod(x2, 0x94D049BB133111EB)
+    return _sql_xshift(s2, 31)
+
+
+def _sql_poly_powers(n: int) -> str:
+    """VALUES rows (e, B^e mod 2^64) for the FNV-prime polynomial base
+    dedup._B, e in [0, n)."""
+    return ", ".join(
+        f"({e}, CAST({pow(0x100000001B3, e, 1 << 64)} AS HUGEINT))"
+        for e in range(n)
+    )
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB recomputation of the FULL simhash pipeline (dedup.py:
     _segment_hashes + _splitmix64 + bit votes) for the planted
-    near-pair cohort. uint64 wraparound arithmetic is emulated with
-    HUGEINT: products of two 64-bit values are decomposed hi/lo-32
-    (each partial < 2^64, sums < 2^65 — inside HUGEINT range) and
-    reduced mod 2^64; xor/shift run on non-negative HUGEINTs (shift ==
-    integer division). Token hash parity with the numpy path is
+    near-pair cohort. Token hash parity with the numpy path is
     pinned in tests/test_entry_oracle.py."""
-    m64 = "18446744073709551616"
-    m32 = 4294967296
-
-    def mulmod(h, c):
-        c_hi, c_lo = c // m32, c % m32
-        return (
-            f"((({h}) % {m32}) * {c_lo} + (((({h}) % {m32}) * {c_hi} + "
-            f"(({h}) // {m32}) * {c_lo}) % {m32}) * {m32}) % {m64}"
-        )
-
-    def xshift(h, sh):
-        return (
-            f"xor(CAST({h} AS HUGEINT), CAST(({h}) // {1 << sh} AS HUGEINT))"
-        )
-
-    s0 = f"((h0 + 11400714819323198485) % {m64})"
-    x1 = xshift(s0, 30)
-    s1 = mulmod(x1, 0xBF58476D1CE4E5B9)
-    x2 = xshift(s1, 27)
-    s2 = mulmod(x2, 0x94D049BB133111EB)
-    splitmix = xshift(s2, 31)
-    powers = ", ".join(
-        f"({e}, CAST({pow(0x100000001B3, e, 1 << 64)} AS HUGEINT))"
-        for e in range(32)
-    )
+    m64 = _M64
+    splitmix = _sql_splitmix("h0")
+    powers = _sql_poly_powers(32)
     pow2 = ", ".join(f"({b}, CAST({1 << b} AS HUGEINT))" for b in range(64))
     return f"""
         WITH powers(e, p) AS (VALUES {powers}),
@@ -1236,6 +1322,62 @@ def _oracle_sql_computed() -> dict[str, str]:
             WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
         """,
         "simhash_near_dup": _simhash_oracle_sql(),
+        "text_fingerprint": f"""
+            WITH powers(e, p) AS (VALUES {_sql_poly_powers(8)}),
+            d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            pos AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 7)) AS i
+                FROM d
+            ),
+            chars AS (
+                SELECT doc_id, i, j,
+                       ascii(substring(text, CAST(i + j AS INT), 1)) AS byte
+                FROM pos, unnest(generate_series(0, 7)) AS u(j)
+            ),
+            ph AS (
+                SELECT doc_id, i,
+                       CAST(sum((CAST(byte AS HUGEINT) * p) % {_M64})
+                            % {_M64} AS HUGEINT) AS h0
+                FROM chars JOIN powers ON powers.e = 7 - j
+                GROUP BY doc_id, i
+            ),
+            th AS (
+                SELECT doc_id, i,
+                       CAST({_sql_splitmix("h0")} AS HUGEINT) AS h
+                FROM ph
+            ),
+            sgn AS (
+                SELECT doc_id, i,
+                       CAST(CASE WHEN h >= 9223372036854775808
+                                 THEN h - {_M64} ELSE h END AS BIGINT) AS hs
+                FROM th
+            ),
+            winmin AS (
+                SELECT doc_id, i,
+                       min(hs) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp,
+                       count(*) OVER (PARTITION BY doc_id) AS n
+                FROM sgn
+            )
+            SELECT DISTINCT doc_id, fp FROM winmin WHERE i <= n - 15
+        """,
+        "asof_join": """
+            SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+                   (SELECT epoch_us(max(p.ts)) FROM events p
+                    WHERE p.user_id = c.user_id
+                      AND p.event_type = 'purchase'
+                      AND p.ts <= c.ts) AS asof_ts_us
+            FROM events c WHERE c.event_type = 'click'
+        """,
+        "interval_join": """
+            SELECT c.event_id AS click_id, s.event_id AS signup_id
+            FROM events c JOIN events s
+              ON c.event_type = 'click' AND s.event_type = 'signup'
+             AND c.user_id < 10 AND s.user_id < 10
+             AND epoch_us(s.ts) <= epoch_us(c.ts)
+             AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+        """,
         "ngram_jaccard": """
             WITH d AS (
                 SELECT doc_id, string_split(text, ' ') AS w

@@ -45,10 +45,13 @@ BENCH_QUERIES = [
     "j3_order_preserving_regroup",
     "w5_cell_join",
     "w7_knn_topk",
+    "w6_pip",
     "dedup_exact",
     "lang_id",
     "events_hourly",
     "emb_cosine_topk",
+    "asof_join",
+    "interval_join",
 ]
 
 

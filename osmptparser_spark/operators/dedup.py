@@ -77,6 +77,13 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     over these hash sets equals jaccard over the shingle sets — which
     is what the DuckDB oracle recomputes from substrings.
     """
+    return np.unique(_positional_shingle_hashes(text, k))
+
+
+def _positional_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Like :func:`_shingle_hashes` but positional: hash of the
+    k-shingle starting at every byte offset, in order, duplicates
+    kept (winnowing needs the positional stream)."""
     data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     if len(data) == 0:
         data = np.zeros(1, dtype=np.uint8)
@@ -88,7 +95,7 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
         for j in range(k - 2, -1, -1):
             powers[j] = powers[j + 1] * _B
         h = (win * powers).sum(axis=1, dtype=np.uint64)
-        return np.unique(_splitmix64(h))
+        return _splitmix64(h)
 
 
 def _segment_hashes(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:

@@ -1,0 +1,131 @@
+"""Temporal join operators: as-of join (backward-looking point lookup).
+
+The reference has none of these (SURVEY.md §2.2); they belong to the
+engine's training-data-pipeline surface — "state of X at the time of
+event Y" feature joins (latest model score before an interaction,
+latest purchase before a click, latest config before a log line).
+
+Scale shape: ONE shuffle. The naive formulations — per-left-row
+correlated subquery, or a range theta-join — are a driver loop or a
+BroadcastNestedLoopJoin at scale. Instead both sides are union-tagged
+and hash-partitioned by key, and a single running `last(ignorenulls)`
+window over (key, time) carries the most recent right payload forward
+into each left row: cost = one exchange + one sort, identical to the
+groupBy the key would need anyway, no matter how skewed the
+left:right ratio per key is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "t",
+    start: str = "t_start",
+    end: str = "t_end",
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Range join: every (point, interval) pair with ``start <= t <
+    end`` — the 1-D twin of the spatial cell join. Catalyst would plan
+    the raw range predicate as a BroadcastNestedLoopJoin; instead both
+    sides land on a bucket grid (width ~ typical interval length) and
+    the join is a plain shuffle EQUI-join on bucket with the range kept
+    as a residual filter: work scales with true overlap, either side
+    can be arbitrarily large, AQE handles bucket skew.
+
+    ``bucket_width`` defaults to a driver-side sample of the median
+    interval length (one tiny job); pass it explicitly in production
+    pipelines. Long intervals explode into multiple bucket rows
+    (cost = length / width per interval, the usual grid trade-off).
+    """
+    if bucket_width is None:
+        med = (
+            intervals.select(
+                F.percentile_approx(F.col(end) - F.col(start), 0.5).alias("m")
+            ).first()["m"]
+        )
+        bucket_width = max(int(med or 1), 1)
+    p = points.withColumn(
+        "_bucket", F.floor(F.col(on) / F.lit(bucket_width)).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / F.lit(bucket_width)).cast("long"),
+                F.floor((F.col(end) - 1) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "_bucket")
+        .filter((F.col(start) <= F.col(on)) & (F.col(on) < F.col(end)))
+        .drop("_bucket")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "key",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the payload of
+    the LATEST right row with the same ``by`` key and ``right.on <=
+    left.on`` (inclusive, matching DuckDB/pandas `ASOF` semantics).
+    Left rows with no prior right row keep NULL payloads.
+
+    ``right_cols``: right payload columns to carry (default: all
+    except ``on``/``by``); each lands as ``<name><suffix>`` plus the
+    match time as ``<on><suffix>``.
+
+    Ties: right rows at exactly the same ``on`` instant as the left
+    row ARE visible (inclusive); among several right rows with the
+    identical (by, on), the one latest in the deterministic
+    (on, side, row-payload) sort wins — callers needing a specific
+    tiebreak should pre-aggregate the right side per (by, on).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (by, on)]
+    payload = F.struct(
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    r = right.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(0).alias("_side"),
+        payload.alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    # right rows sort BEFORE left rows at an equal instant -> inclusive
+    w = (
+        Window.partitionBy("_by")
+        .orderBy(F.col("_on"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        r.unionByName(l)
+        .withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_l_{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col(f"_match.{on}{suffix}").alias(f"{on}{suffix}"))
+    out_cols += [
+        F.col(f"_match.{c}{suffix}").alias(f"{c}{suffix}") for c in right_cols
+    ]
+    return carried.select(*out_cols)

@@ -62,17 +62,30 @@ def wait_for_quiet(max_load: float, timeout_s: float = 900.0) -> float:
         time.sleep(20)
 
 
-def run_bench(cpus: int, routes: int, pin: bool = True) -> dict:
+def run_bench(cpus: int, routes: int, pin: bool = True) -> dict | None:
+    """One bench invocation; None on wall-timeout (a storm can stretch
+    a pinned 2-core leg indefinitely — an unbounded leg would eat the
+    whole measurement session, so a timed-out attempt counts as
+    polluted and the leg moves on)."""
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_ROUTES"] = str(routes)
     env["SPARK_GRAFT_SKIP_SUITE"] = "1"
     env.setdefault("SPARK_GRAFT_GEO_TRIALS", "3")
+    timeout = float(os.environ.get("SPARK_GRAFT_LEG_TIMEOUT", "900"))
     cmd = [sys.executable, os.path.join(HERE, "bench.py")]
     if pin:
         env["SPARK_GRAFT_PINNED_CPUS"] = f"0-{cpus - 1}"
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+    try:
+        out = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, check=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"[scaling] leg cpus={cpus} TIMED OUT after {timeout}s",
+              file=sys.stderr, flush=True)
+        return None
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -92,10 +105,19 @@ def run_leg(cpus: int, routes: int, max_load: float, steal_rate_max: float,
     steal per wall second. The returned dict always carries
     ``steal_clean``: False means every attempt was polluted and the
     fastest polluted attempt is returned, EXPLICITLY marked."""
+    retries = int(os.environ.get("SPARK_GRAFT_LEG_RETRIES", retries))
     best = None
-    for _ in range(retries + 1):
+    for attempt in range(retries + 1):
         wait_for_quiet(max_load)
         r = run_bench(cpus, routes)
+        if r is None:
+            continue  # timed out mid-storm: counts as polluted
+        print(
+            f"[scaling] cpus={cpus} attempt={attempt} "
+            f"wall={r['queries']['geo_pipeline_pages']}s "
+            f"steal={r.get('geo_steal_sec')}s rate={_rate(r):.2f}",
+            file=sys.stderr, flush=True,
+        )
         if best is None or (
             r["queries"]["geo_pipeline_pages"]
             < best["queries"]["geo_pipeline_pages"]
@@ -104,6 +126,11 @@ def run_leg(cpus: int, routes: int, max_load: float, steal_rate_max: float,
         if _rate(r) <= steal_rate_max:
             r["steal_clean"] = True
             return r
+    if best is None:
+        raise RuntimeError(
+            f"every attempt of the cpus={cpus} leg timed out; host too "
+            "stormy to measure"
+        )
     best["steal_clean"] = False
     return best
 

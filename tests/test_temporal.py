@@ -1,0 +1,100 @@
+"""As-of join: brute-force oracle equality, inclusive-tie semantics,
+null for no-prior-match, single-shuffle plan shape."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from osmptparser_spark.operators.temporal import asof_join
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    rng = np.random.default_rng(11)
+    left = [
+        (int(i), int(rng.integers(0, 20)), int(rng.integers(0, 1000)))
+        for i in range(300)
+    ]
+    right = [
+        (int(1000 + i), int(rng.integers(0, 20)), int(rng.integers(0, 1000)), float(i))
+        for i in range(200)
+    ]
+    ldf = spark.createDataFrame(left, "id BIGINT, key BIGINT, t BIGINT")
+    rdf = spark.createDataFrame(right, "rid BIGINT, key BIGINT, t BIGINT, score DOUBLE")
+    return left, right, ldf, rdf
+
+
+class TestAsofJoin:
+    def test_matches_brute_force(self, sides):
+        left, right, ldf, rdf = sides
+        out = asof_join(ldf, rdf, on="t", by="key", right_cols=["score"])
+        got = {r.id: r.t_asof for r in out.collect()}
+        assert len(got) == len(left)
+        for lid, lkey, lt in left:
+            prior = [rt for _, rkey, rt, _ in right if rkey == lkey and rt <= lt]
+            want = max(prior) if prior else None
+            assert got[lid] == want, (lid, lkey, lt)
+
+    def test_inclusive_at_equal_instant(self, spark):
+        ldf = spark.createDataFrame([(1, 5, 100)], "id BIGINT, key BIGINT, t BIGINT")
+        rdf = spark.createDataFrame(
+            [(9, 5, 100, 7.0)], "rid BIGINT, key BIGINT, t BIGINT, score DOUBLE"
+        )
+        row = asof_join(ldf, rdf, on="t", by="key", right_cols=["score"]).collect()[0]
+        assert row.t_asof == 100 and row.score_asof == 7.0
+
+    def test_no_prior_is_null(self, spark):
+        ldf = spark.createDataFrame([(1, 5, 100)], "id BIGINT, key BIGINT, t BIGINT")
+        rdf = spark.createDataFrame(
+            [(9, 5, 200, 7.0)], "rid BIGINT, key BIGINT, t BIGINT, score DOUBLE"
+        )
+        row = asof_join(ldf, rdf, on="t", by="key", right_cols=["score"]).collect()[0]
+        assert row.t_asof is None and row.score_asof is None
+
+    def test_single_exchange_plan(self, spark, sides):
+        # the scale contract: one hash exchange on the key (plus AQE
+        # bookkeeping) — no joins, no BroadcastNestedLoopJoin at all
+        _, _, ldf, rdf = sides
+        out = asof_join(ldf, rdf, on="t", by="key", right_cols=["score"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert plan.count("Exchange") <= 2  # union -> one hashpartitioning
+
+
+class TestIntervalJoin:
+    def test_matches_brute_force_and_plan(self, spark):
+        from osmptparser_spark.operators.temporal import interval_join
+
+        rng = np.random.default_rng(12)
+        pts = [(int(i), int(rng.integers(0, 5000))) for i in range(400)]
+        ivs = []
+        for i in range(150):
+            s = int(rng.integers(0, 5000))
+            ivs.append((int(2000 + i), s, s + int(rng.integers(1, 300))))
+        pdf = spark.createDataFrame(pts, "pid BIGINT, t BIGINT")
+        idf = spark.createDataFrame(ivs, "iid BIGINT, t_start BIGINT, t_end BIGINT")
+        out = interval_join(pdf, idf, on="t", start="t_start", end="t_end")
+        got = {(r.pid, r.iid) for r in out.select("pid", "iid").collect()}
+        want = {
+            (p, i)
+            for p, t in pts
+            for i, s, e in ivs
+            if s <= t < e
+        }
+        assert got == want and len(want) > 100
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_sampled_bucket_width(self, spark):
+        from osmptparser_spark.operators.temporal import interval_join
+
+        pdf = spark.createDataFrame([(1, 50), (2, 500)], "pid BIGINT, t BIGINT")
+        idf = spark.createDataFrame(
+            [(7, 0, 100), (8, 400, 410)], "iid BIGINT, t_start BIGINT, t_end BIGINT"
+        )
+        got = {
+            (r.pid, r.iid)
+            for r in interval_join(pdf, idf).select("pid", "iid").collect()
+        }
+        assert got == {(1, 7)}
