@@ -42,7 +42,11 @@ def _norm(v):
 
 
 def _rows(rows):
-    return sorted(tuple(_norm(v) for v in r) for r in rows)
+    # null-safe sort key (NULLs first), like the driver's compare
+    return sorted(
+        (tuple(_norm(v) for v in r) for r in rows),
+        key=lambda t: tuple((v is not None, str(type(v)), v) for v in t),
+    )
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
