@@ -1108,7 +1108,6 @@ def oracle_sql() -> dict[str, str]:
         "s2_tiling",
         "stitch_pipeline",
         "geojson_sink",
-        "multimodal_features",
         "area_pipeline",
         "pbf_decode",
     ):
@@ -1369,6 +1368,32 @@ def _oracle_sql_computed() -> dict[str, str]:
                       AND p.event_type = 'purchase'
                       AND p.ts <= c.ts) AS asof_ts_us
             FROM events c WHERE c.event_type = 'click'
+        """,
+        "multimodal_features": """
+            -- independent recomputation of the fake-codec pipeline:
+            -- payload = sha256(str(id)) bytes x8; decode hashes the
+            -- payload HEX text; f0 = mean of the 4x4 top-left pool of
+            -- the 8x8 digest grid = sum(16 bytes) / 16, x1e4 = x625
+            WITH ids(media_id) AS (SELECT unnest(generate_series(0, 63))),
+            h1 AS (
+                SELECT media_id,
+                       lower(sha256(CAST(media_id AS VARCHAR))) AS hx
+                FROM ids
+            ),
+            h2 AS (
+                SELECT media_id, lower(sha256(repeat(hx, 8))) AS hx2 FROM h1
+            ),
+            bytes AS (
+                SELECT media_id,
+                       (strpos('0123456789abcdef', substring(hx2, 2*i+1, 1)) - 1) * 16 +
+                       (strpos('0123456789abcdef', substring(hx2, 2*i+2, 1)) - 1) AS b
+                FROM h2,
+                     unnest([0,1,2,3,8,9,10,11,16,17,18,19,24,25,26,27]) AS u(i)
+            )
+            SELECT media_id, CAST(8 AS BIGINT) AS width,
+                   CAST(8 AS BIGINT) AS height,
+                   CAST(sum(b) * 625 AS BIGINT) AS f0_x1e4
+            FROM bytes GROUP BY media_id
         """,
         "interval_join": """
             SELECT c.event_id AS click_id, s.event_id AS signup_id

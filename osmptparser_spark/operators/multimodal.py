@@ -43,8 +43,13 @@ def real_decode_stub(payload: bytes):
 def fake_decode(payload: bytes):
     """Deterministic stand-in decode: derives an 8x8 'pixel' grid from
     the payload digest. Same interface a real decoder would have:
-    bytes -> (height, width, np.ndarray[h, w])."""
-    digest = hashlib.sha256(payload).digest()
+    bytes -> (height, width, np.ndarray[h, w]).
+
+    Hashes the payload's HEX text (not the raw bytes) so the whole
+    fake pipeline is recomputable in DuckDB SQL (sha256 there is
+    VARCHAR-only) — the `multimodal_features` oracle recomputes these
+    exact values independently instead of pinning a drift golden."""
+    digest = hashlib.sha256(payload.hex().encode()).digest()
     arr = np.frombuffer((digest * 2)[:64], dtype=np.uint8).reshape(8, 8)
     return 8, 8, arr.astype(np.float32)
 
