@@ -44,6 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gap", type=float, default=150.0, help="gap tolerance meters")
     p.add_argument("--cpus", type=int, default=0, help="0 = all (parity only)")
     p.add_argument("--output", required=True, help="output dir (ndjson GeoJSON)")
+    p.add_argument(
+        "--profile",
+        choices=["local", "cluster"],
+        default="local",
+        help="session conf profile (session.PROFILE_CONFS): 'cluster'"
+        " sizes shuffle partitions / broadcast threshold / dynamic"
+        " allocation for a 100-executor-class deployment",
+    )
     return p
 
 
@@ -70,7 +78,7 @@ def main(argv=None) -> int:
     from .sources.geojson import area_geojson, public_transport_geojson, write_geojson
 
     master = f"local[{args.cpus}]" if args.cpus > 0 else None
-    spark = get_spark("osmptparser-spark-cli", master=master)
+    spark = get_spark("osmptparser-spark-cli", master=master, profile=args.profile)
     nodes, ways, relations = load_entities(spark, args)
     if args.filter_ptv2:
         preset = PTV2_FILTER_STRICT if args.strict_ptv2 else PTV2_FILTER
