@@ -28,7 +28,17 @@ from ..functions.tiling import (
 
 
 def _with_cell(df: DataFrame, res: int, lat: str, lon: str, out: str) -> DataFrame:
-    return df.withColumn(out, h3_encode_udf(res)(F.col(lat), F.col(lon)))
+    # coalesce to a sentinel that never matches a real cell id: the
+    # encode is total (never null), but Catalyst cannot know that, and
+    # an equi-join on a nullable UDF column gets an inferred
+    # isnotnull(enc(...)) filter that evaluates the Arrow UDF a SECOND
+    # time per row. A provably-non-null key removes the inferred
+    # filter — one encode pass instead of two (visible in the plan as
+    # a single ArrowEvalPython per side).
+    return df.withColumn(
+        out,
+        F.coalesce(h3_encode_udf(res)(F.col(lat), F.col(lon)), F.lit(-1)),
+    )
 
 
 def cell_join(
