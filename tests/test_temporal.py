@@ -98,3 +98,24 @@ class TestIntervalJoin:
             for r in interval_join(pdf, idf).select("pid", "iid").collect()
         }
         assert got == {(1, 7)}
+
+    def test_negative_times_and_empty_intervals(self, spark):
+        from osmptparser_spark.operators.temporal import interval_join
+
+        # negative t: floor-division bucketing must stay consistent
+        pdf = spark.createDataFrame(
+            [(1, -150), (2, -50), (3, 10)], "pid BIGINT, t BIGINT"
+        )
+        idf = spark.createDataFrame(
+            [(7, -200, -100), (8, -60, 20)], "iid BIGINT, t_start BIGINT, t_end BIGINT"
+        )
+        got = {
+            (r.pid, r.iid)
+            for r in interval_join(pdf, idf, bucket_width=100)
+            .select("pid", "iid")
+            .collect()
+        }
+        assert got == {(1, 7), (2, 8), (3, 8)}
+        # empty interval side -> empty result, no crash in width sampling
+        empty = spark.createDataFrame([], "iid BIGINT, t_start BIGINT, t_end BIGINT")
+        assert interval_join(pdf, empty).count() == 0
