@@ -84,59 +84,186 @@ def covering_cells_udf(res: int, pad_m: float, ring: int):
     return cov
 
 
+def _grid_inside(lats: np.ndarray, lons: np.ndarray, ry: np.ndarray, rx: np.ndarray):
+    """Even-odd inside mask (n_lat, n_lon) for a regular grid vs one
+    closed ring. Row-wise: each grid row shares one latitude, so the
+    ring's x-intersections at that latitude are computed once and the
+    whole row classifies with a single searchsorted — O(rows * E log E)
+    instead of O(rows * cols * E)."""
+    y1, x1 = ry[:-1], rx[:-1]
+    y2, x2 = ry[1:], rx[1:]
+    inside = np.zeros((len(lats), len(lons)), dtype=bool)
+    for i, py in enumerate(lats):
+        cond = (y1 > py) != (y2 > py)
+        if not cond.any():
+            continue
+        xint = (x2[cond] - x1[cond]) * (py - y1[cond]) / (
+            y2[cond] - y1[cond]
+        ) + x1[cond]
+        xint.sort()
+        # parity of #{xint > lon}  (matches _ray_cast's strict px < xint)
+        n_le = np.searchsorted(xint, lons, side="right")
+        inside[i] = ((len(xint) - n_le) % 2).astype(bool)
+    return inside
+
+
+def _edge_grid_nodes(
+    ry, rx, lat_min, lon_min, s_lat, s_lon, n_lat, n_lon
+):
+    """Grid-node indices (i, j) nearest to samples taken every half
+    grid step along each ring edge — marks the boundary's cells so
+    sliver polygons thinner than the grid spacing still get covered."""
+    ii, jj = [], []
+    for k in range(len(ry) - 1):
+        steps = max(
+            abs(ry[k + 1] - ry[k]) / s_lat, abs(rx[k + 1] - rx[k]) / s_lon
+        )
+        t = np.linspace(0.0, 1.0, int(steps * 2) + 2)
+        sy = ry[k] + (ry[k + 1] - ry[k]) * t
+        sx = rx[k] + (rx[k + 1] - rx[k]) * t
+        ii.append(np.clip(np.rint((sy - lat_min) / s_lat), 0, n_lat - 1))
+        jj.append(np.clip(np.rint((sx - lon_min) / s_lon), 0, n_lon - 1))
+    return (
+        np.concatenate(ii).astype(np.int64),
+        np.concatenate(jj).astype(np.int64),
+    )
+
+
+def _dilate(mask: np.ndarray, ri: int, rj: int) -> np.ndarray:
+    """Binary dilation by (ri, rj) grid steps via shifted ORs."""
+    out = mask
+    for _ in range(ri):
+        m = out.copy()
+        m[1:] |= out[:-1]
+        m[:-1] |= out[1:]
+        out = m
+    for _ in range(rj):
+        m = out.copy()
+        m[:, 1:] |= out[:, :-1]
+        m[:, :-1] |= out[:, 1:]
+        out = m
+    return out
+
+
+def polygon_cover_cells_batch(
+    rings: list,
+    res: int,
+    max_cover_cells: int = 200_000,
+):
+    """Covering cells for a BATCH of polygons at once: returns
+    ``(owner_idx, cells)`` arrays where ``owner_idx[k]`` is the index
+    into ``rings`` of the polygon that ``cells[k]`` belongs to.
+
+    ``rings``: list of ``(ring_lat, ring_lon)`` closed-ring ndarrays.
+
+    Construction (per polygon, cheap numpy): lay a grid over the bbox
+    dense enough that every point lies within
+    ``pad = ring_guaranteed_m(2, res)`` of its nearest grid node; keep
+    only nodes that are INSIDE the polygon (row-wise even-odd parity)
+    or near its boundary (edges rasterized onto the grid), dilated by a
+    conservative radius so the nearest node of ANY polygon point is
+    kept — a C-shaped or diagonal polygon no longer pays for its whole
+    bbox. Kept nodes from all polygons then flow through ONE
+    ``latlng_to_cells_multiface`` + ONE 2-ring ``grid_disk_arrays``
+    call (the same primitive ``covering_cells_udf`` builds on, so the
+    across-face guarantee carries over): any polygon point P is within
+    pad of a kept sample, hence ``latlng_to_cell(P)`` is in P's
+    polygon's cover — the downstream cell equi-join can only
+    over-select, never miss.
+
+    ``max_cover_cells`` guards against a res too fine for a polygon's
+    extent: callers should coarsen ``res`` for continent-sized
+    polygons rather than explode 10^7 cells.
+    """
+    pad_m = h3x.ring_guaranteed_m(2, res)
+    # grid diagonal/2 = 0.9 * sqrt(2)/2 * pad ~= 0.64 pad < pad
+    d_m = 0.9 * pad_m
+    dlat = d_m / 111_320.0
+    keep_lat, keep_lon, keep_owner = [], [], []
+    for pi, (ring_lat, ring_lon) in enumerate(rings):
+        ry = np.asarray(ring_lat, dtype=np.float64)
+        rx = np.asarray(ring_lon, dtype=np.float64)
+        lat_min, lat_max = float(ry.min()), float(ry.max())
+        lon_min, lon_max = float(rx.min()), float(rx.max())
+        coslat = max(
+            np.cos(np.radians(max(abs(lat_min), abs(lat_max)))), 0.01
+        )
+        dlon = d_m / (111_320.0 * coslat)
+        n_lat = int((lat_max - lat_min) / dlat) + 2
+        n_lon = int((lon_max - lon_min) / dlon) + 2
+        # grid NODES are cheap (ray-cast parity only; no encode) but a
+        # continent at res 9+ would still allocate 10^8+ booleans
+        if n_lat * n_lon > 64 * max_cover_cells:
+            raise ValueError(
+                f"polygon bbox needs a ~{n_lat * n_lon}-node grid at res "
+                f"{res} (> {64 * max_cover_cells}); use a coarser res for "
+                "polygons of this extent"
+            )
+        lats = np.linspace(lat_min, lat_max, n_lat)
+        lons = np.linspace(lon_min, lon_max, n_lon)
+        s_lat = (lat_max - lat_min) / (n_lat - 1) if n_lat > 1 else dlat
+        s_lon = (lon_max - lon_min) / (n_lon - 1) if n_lon > 1 else dlon
+        s_lat = s_lat or dlat
+        s_lon = s_lon or dlon
+        mask = _grid_inside(lats, lons, ry, rx)
+        ei, ej = _edge_grid_nodes(
+            ry, rx, lat_min, lon_min, s_lat, s_lon, n_lat, n_lon
+        )
+        mask[ei, ej] = True
+        # nearest grid node S of a polygon point P is within 0.71*d of
+        # P; if S is outside, the boundary passes within 0.71*d of S,
+        # an edge sample within ~0.96*d, that sample's marked node
+        # within ~1.67*d — dilation radius 2*d/s (s <= target spacing
+        # d after linspace rounding) keeps S in every case.
+        ri = min(int(np.ceil(2.0 * dlat / s_lat)), n_lat)
+        rj = min(int(np.ceil(2.0 * dlon / s_lon)), n_lon)
+        mask = _dilate(mask, ri, rj)
+        i, j = np.nonzero(mask)
+        keep_lat.append(lats[i])
+        keep_lon.append(lons[j])
+        keep_owner.append(np.full(len(i), pi, dtype=np.int64))
+    glat = np.concatenate(keep_lat)
+    glon = np.concatenate(keep_lon)
+    owner = np.concatenate(keep_owner)
+    # one encode + one disk for the whole batch
+    pidx, cells = h3x.latlng_to_cells_multiface(glat, glon, res, pad_m)
+    owner = owner[pidx]
+    owner, cells = _unique_pairs(owner, cells)
+    ridx, rcells = h3x.grid_disk_arrays(cells, 2)
+    owner, cover = _unique_pairs(owner[ridx], rcells)
+    counts = np.bincount(owner, minlength=len(rings))
+    if counts.max(initial=0) > max_cover_cells:
+        bad = int(np.argmax(counts))
+        raise ValueError(
+            f"polygon {bad} cover has {int(counts[bad])} cells at res "
+            f"{res} (> {max_cover_cells}); use a coarser res"
+        )
+    return owner, cover
+
+
+def _unique_pairs(owner: np.ndarray, cells: np.ndarray):
+    """Distinct (owner, cell) pairs, sorted by owner (stable for cells)."""
+    order = np.lexsort((cells, owner))
+    owner, cells = owner[order], cells[order]
+    if len(owner) == 0:
+        return owner, cells
+    keep = np.empty(len(owner), dtype=bool)
+    keep[0] = True
+    keep[1:] = (owner[1:] != owner[:-1]) | (cells[1:] != cells[:-1])
+    return owner[keep], cells[keep]
+
+
 def polygon_cover_cells(
     ring_lat: np.ndarray,
     ring_lon: np.ndarray,
     res: int,
     max_cover_cells: int = 200_000,
 ) -> np.ndarray:
-    """Distinct cells whose union provably covers the polygon's bbox
-    (hence the polygon) at ``res``.
-
-    Construction: sample the bbox on a grid dense enough that every
-    bbox point lies within ``pad = ring_guaranteed_m(2, res)`` of a
-    sample, then take each sample's multi-face encodings plus a 2-ring
-    — the same primitive ``covering_cells_udf`` builds on, so the
-    guarantee (any point q within pad of a sample has its home cell in
-    the set, across icosahedron face boundaries) carries over. A point
-    P in the bbox is within pad of its nearest sample, so
-    ``latlng_to_cell(P) ∈ cover`` — the downstream cell equi-join can
-    only over-select, never miss.
-
-    ``max_cover_cells`` guards against a res too fine for the polygon's
-    extent (cover size ~ bbox_area / cell_area): callers should coarsen
-    ``res`` for continent-sized polygons rather than explode 10^7 cells.
-    """
-    lat_min, lat_max = float(ring_lat.min()), float(ring_lat.max())
-    lon_min, lon_max = float(ring_lon.min()), float(ring_lon.max())
-    pad_m = h3x.ring_guaranteed_m(2, res)
-    # grid diagonal/2 = 0.9 * sqrt(2)/2 * pad ~= 0.64 pad < pad
-    d_m = 0.9 * pad_m
-    dlat = d_m / 111_320.0
-    coslat = max(
-        np.cos(np.radians(max(abs(lat_min), abs(lat_max)))), 0.01
+    """Single-polygon convenience wrapper over
+    ``polygon_cover_cells_batch`` — see there for the guarantee."""
+    _, cover = polygon_cover_cells_batch(
+        [(ring_lat, ring_lon)], res, max_cover_cells
     )
-    dlon = d_m / (111_320.0 * coslat)
-    n_lat = int((lat_max - lat_min) / dlat) + 2
-    n_lon = int((lon_max - lon_min) / dlon) + 2
-    if n_lat * n_lon > 4 * max_cover_cells:
-        raise ValueError(
-            f"polygon bbox needs ~{n_lat * n_lon} cover samples at res "
-            f"{res} (> {4 * max_cover_cells}); use a coarser res for "
-            "polygons of this extent"
-        )
-    lats = np.linspace(lat_min, lat_max, n_lat)
-    lons = np.linspace(lon_min, lon_max, n_lon)
-    glat = np.repeat(lats, n_lon)
-    glon = np.tile(lons, n_lat)
-    _, cells = h3x.latlng_to_cells_multiface(glat, glon, res, pad_m)
-    _, rcells = h3x.grid_disk_arrays(np.unique(cells), 2)
-    cover = np.unique(rcells)
-    if len(cover) > max_cover_cells:
-        raise ValueError(
-            f"polygon cover has {len(cover)} cells at res {res} "
-            f"(> {max_cover_cells}); use a coarser res"
-        )
     return cover
 
 

@@ -432,7 +432,7 @@ def point_in_polygon_join(
             "point_id", "p_lat", "p_lon", poly_id, "ring"
         )
     elif strategy == "cells":
-        from ..functions.tiling import polygon_cover_cells
+        from ..functions.tiling import polygon_cover_cells_batch
 
         cover_ddl = (
             f"{poly_id} BIGINT, _cell BIGINT, _lat_min DOUBLE, "
@@ -440,29 +440,36 @@ def point_in_polygon_join(
         )
 
         def gen_cover(batches):
+            empty = pd.DataFrame(
+                columns=[
+                    poly_id, "_cell", "_lat_min", "_lat_max",
+                    "_lon_min", "_lon_max",
+                ]
+            )
             for pdf in batches:
-                out = []
-                for pid, ring in zip(pdf[poly_id], pdf["ring"]):
+                if len(pdf) == 0:
+                    yield empty
+                    continue
+                rings = []
+                bbox = np.empty((len(pdf), 4))
+                for n, ring in enumerate(pdf["ring"]):
                     ry = np.array([p["lat"] for p in ring])
                     rx = np.array([p["lon"] for p in ring])
-                    cover = polygon_cover_cells(ry, rx, res, max_cover_cells)
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                poly_id: int(pid),
-                                "_cell": cover.astype("int64"),
-                                "_lat_min": ry.min(),
-                                "_lat_max": ry.max(),
-                                "_lon_min": rx.min(),
-                                "_lon_max": rx.max(),
-                            }
-                        )
-                    )
-                yield pd.concat(out) if out else pd.DataFrame(
-                    columns=[
-                        poly_id, "_cell", "_lat_min", "_lat_max",
-                        "_lon_min", "_lon_max",
-                    ]
+                    rings.append((ry, rx))
+                    bbox[n] = (ry.min(), ry.max(), rx.min(), rx.max())
+                owner, cells = polygon_cover_cells_batch(
+                    rings, res, max_cover_cells
+                )
+                pids = pdf[poly_id].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        poly_id: pids[owner],
+                        "_cell": cells.astype("int64"),
+                        "_lat_min": bbox[owner, 0],
+                        "_lat_max": bbox[owner, 1],
+                        "_lon_min": bbox[owner, 2],
+                        "_lon_max": bbox[owner, 3],
+                    }
                 )
 
         cover = polygons.select(poly_id, "ring").mapInPandas(gen_cover, cover_ddl)
