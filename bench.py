@@ -71,6 +71,34 @@ def _time(fn):
     return out, time.time() - t0
 
 
+def _metered_leg(fn, steal_rate_max: float, max_extra: int = 2):
+    """Run one suite leg with the same auditability the geo headline
+    has: record {wall, cpu, steal} per attempt and retry (bounded)
+    while the best attempt overlapped a hypervisor steal storm. The
+    returned record carries every attempt plus a ``clean`` flag, so a
+    recorded 24 s that was really a storm draw (BENCH_r03's
+    a3_group_agg, re-measured at 0.50 s) is never ambiguous again."""
+    attempts = []
+    while not attempts or (
+        len(attempts) <= max_extra
+        and min(attempts)[2] / max(min(attempts)[0], 1e-9) > steal_rate_max
+    ):
+        c0, s0 = _tree_cpu_seconds(), _steal_seconds()
+        _, dt = _time(fn)
+        attempts.append((dt, _tree_cpu_seconds() - c0, _steal_seconds() - s0))
+    wall, cpu, steal = min(attempts)
+    return {
+        "wall": round(wall, 3),
+        "cpu": round(cpu, 2),
+        "steal": round(steal, 2),
+        "clean": steal / max(wall, 1e-9) <= steal_rate_max,
+        "attempts": [
+            {"wall": round(w, 3), "cpu": round(c, 2), "steal": round(s, 2)}
+            for w, c, s in attempts
+        ],
+    }
+
+
 def _steal_seconds() -> float:
     """Hypervisor steal time (seconds). This sandbox is an
     overcommitted VM with violent intermittent steal storms — measured:
@@ -249,6 +277,7 @@ def main():
     timings["geo_pipeline_pages"] = round(t_geo, 3)
 
     # ---- operator suite over driver testdata ------------------------------
+    legs: dict[str, dict] = {}
     queries = entry_mod.queries()
     for name in BENCH_QUERIES if not os.environ.get("SPARK_GRAFT_SKIP_SUITE") else []:
         q = queries[name]
@@ -257,8 +286,8 @@ def main():
             df = q(spark, SF_DIR)
             return df.agg(F.count(F.lit(1))).collect()
 
-        _, dt = _time(run)
-        timings[name] = round(dt, 3)
+        legs[name] = _metered_leg(run, steal_rate_max)
+        timings[name] = legs[name]["wall"]
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SUITE"):
         # dedup signature throughput over the FULL documents table at this
@@ -272,18 +301,20 @@ def main():
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
             "doc_id", "text"
         )
-        _, dt = _time(
+        legs["minhash_full"] = _metered_leg(
             lambda: minhash_lsh_pairs(docs, threshold=0.5)
             .agg(F.count(F.lit(1)))
-            .collect()
+            .collect(),
+            steal_rate_max,
         )
-        timings["minhash_full"] = round(dt, 3)
-        _, dt = _time(
+        timings["minhash_full"] = legs["minhash_full"]["wall"]
+        legs["simhash_full"] = _metered_leg(
             lambda: simhash_near_dup_pairs(docs, max_hamming=3)
             .agg(F.count(F.lit(1)))
-            .collect()
+            .collect(),
+            steal_rate_max,
         )
-        timings["simhash_full"] = round(dt, 3)
+        timings["simhash_full"] = legs["simhash_full"]["wall"]
 
     pages_per_sec = n_pages / t_geo if t_geo > 0 else 0.0
     result = {
@@ -301,6 +332,8 @@ def main():
             {"wall": round(w, 2), "cpu": round(c, 2), "steal": round(s, 2)}
             for w, c, s in runs
         ],
+        "geo_clean": steal_geo / max(t_geo, 1e-9) <= steal_rate_max,
+        "legs": legs,
     }
     print(json.dumps(result))
     return 0

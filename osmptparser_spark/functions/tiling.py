@@ -291,10 +291,26 @@ def with_cells(
     h3_col: str = "h3_cell",
     s2_col: str = "s2_cell",
 ) -> DataFrame:
-    """Add H3X + S2X cell columns to any point DataFrame."""
-    return df.withColumn(
-        h3_col, h3_encode_udf(h3_res)(F.col(lat_col), F.col(lon_col))
-    ).withColumn(s2_col, s2_encode_udf(s2_level)(F.col(lat_col), F.col(lon_col)))
+    """Add H3X + S2X cell columns to any point DataFrame. Both encodes
+    run inside ONE pandas UDF so the (lat, lon) batch crosses the
+    JVM<->Arrow boundary once, not twice."""
+
+    @pandas_udf("struct<h3: long, s2: long>")
+    def enc2(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        la, lo = lat.to_numpy(), lon.to_numpy()
+        return pd.DataFrame(
+            {
+                "h3": h3x.latlng_to_cell(la, lo, h3_res),
+                "s2": s2x.cell_id(la, lo, s2_level),
+            }
+        )
+
+    return (
+        df.withColumn("_c2", enc2(F.col(lat_col), F.col(lon_col)))
+        .withColumn(h3_col, F.col("_c2.h3"))
+        .withColumn(s2_col, F.col("_c2.s2"))
+        .drop("_c2")
+    )
 
 
 def tile_points(

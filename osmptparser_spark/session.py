@@ -40,7 +40,20 @@ DEFAULT_CONFS = {
 }
 
 PROFILE_CONFS = {
-    "local": {},
+    "local": {
+        # single-JVM envelope: a 32-thread local driver with a large
+        # heap defaults to ~23 G1 GC workers that fight the task
+        # threads for cores, and lz4-compresses shuffle blocks that
+        # only ever hit the local page cache. Capping GC threads and
+        # skipping shuffle compression measured ~25-30% less CPU on
+        # the repartition+sort leg with identical results. The
+        # cluster profile keeps compression ON (network shuffle).
+        "spark.driver.extraJavaOptions": (
+            "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2"
+        ),
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
+    },
     "cluster": {
         # AQE coalesces DOWN from this at runtime; undersizing is the
         # unrecoverable direction at 100 TB (spill + 2 GB block limit)

@@ -199,7 +199,13 @@ class TestSessionProfiles:
         c2 = build_confs("cluster", shuffle_partitions=77, confs={"spark.speculation": "false"})
         assert c2["spark.sql.shuffle.partitions"] == "77"
         assert c2["spark.speculation"] == "false"
-        # local profile is exactly the defaults
-        assert build_confs("local") == DEFAULT_CONFS
+        # local profile = defaults + single-JVM CPU savers (capped GC
+        # threads, uncompressed local shuffle); cluster keeps compression
+        cl = build_confs("local")
+        assert cl["spark.shuffle.compress"] == "false"
+        assert "ParallelGCThreads" in cl["spark.driver.extraJavaOptions"]
+        assert "spark.shuffle.compress" not in c or c.get("spark.shuffle.compress") != "false"
+        for k, v in DEFAULT_CONFS.items():
+            assert cl[k] == v
         with pytest.raises(ValueError, match="profile"):
             build_confs("warehouse")
