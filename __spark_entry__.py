@@ -372,7 +372,14 @@ def _q_sessionization(spark, sf_dir):
 
 
 def _minhash_input(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # ASCII precondition (applied identically in the oracle SQL): the
+    # impl hashes UTF-8 BYTE shingles, the oracle substrings CHARS —
+    # equal jaccard only when bytes == chars. Filtering both sides the
+    # same way keeps the contract corpus-proof instead of relying on
+    # the current corpus being ASCII.
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 150) & (F.octet_length("text") == F.length("text"))
+    )
     # plant deterministic near-dups so the operator has work to verify
     dups = d.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
@@ -406,7 +413,14 @@ def _q_simhash_near_dup(spark, sf_dir):
     # output on planted ids is exactly {pairs with true hamming <= 3}.
     from osmptparser_spark.operators.dedup import simhash_near_dup_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    # preconditions mirrored in the oracle SQL: ASCII-only (numpy
+    # hashes UTF-8 bytes vs SQL ascii(substring()) chars) and no
+    # non-space whitespace (python str.split() splits on ANY
+    # whitespace, the SQL on single spaces)
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.octet_length("text") == F.length("text"))
+        & ~F.col("text").rlike("[\\t\\n\\x0B\\f\\r]")
+    )
     dups = d.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.concat(F.lit("zqxjv "), "text").alias("text"),
@@ -831,7 +845,15 @@ def _q_text_fingerprint(spark, sf_dir):
     # window frame — an independent formulation of the exact values.
     from osmptparser_spark.functions.text import fingerprint_df
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    # preconditions mirrored in the oracle SQL: texts of >= 24 chars
+    # (shorter ones take fingerprint_df's single-min branch while the
+    # SQL's `i <= n - 15` frame emits zero rows) and ASCII-only (the
+    # numpy path hashes UTF-8 bytes, the SQL ascii(substring()) chars)
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100)
+        & (F.length("text") >= 24)
+        & (F.octet_length("text") == F.length("text"))
+    )
     return fingerprint_df(d.select("doc_id", "text"), window=16, k=8).select(
         "doc_id", F.explode("fingerprints").alias("fp")
     )
@@ -1028,9 +1050,14 @@ def _simhash_oracle_sql() -> str:
         pow2(b, v) AS (VALUES {pow2}),
         base AS (
             SELECT doc_id, text FROM documents
+            WHERE strlen(text) = length(text)
+              AND NOT regexp_matches(text, '[\\t\\n\\x0b\\f\\r]')
             UNION ALL
             SELECT doc_id + 10000000 AS doc_id, 'zqxjv ' || text AS text
-            FROM documents WHERE doc_id % 20 = 0
+            FROM documents
+            WHERE doc_id % 20 = 0
+              AND strlen(text) = length(text)
+              AND NOT regexp_matches(text, '[\\t\\n\\x0b\\f\\r]')
         ),
         toks AS (
             SELECT doc_id, tok, count(*) AS cnt FROM (
@@ -1296,10 +1323,13 @@ def _oracle_sql_computed() -> dict[str, str]:
         """,
         "minhash_near_dup": """
             WITH base AS (
-                SELECT doc_id, text FROM documents WHERE doc_id < 150
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < 150 AND strlen(text) = length(text)
                 UNION ALL
                 SELECT doc_id + 10000000 AS doc_id, text || ' tail' AS text
-                FROM documents WHERE doc_id < 150 AND doc_id % 20 = 0
+                FROM documents
+                WHERE doc_id < 150 AND doc_id % 20 = 0
+                  AND strlen(text) = length(text)
             ), pos AS (
                 SELECT doc_id, text,
                        unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
@@ -1323,7 +1353,9 @@ def _oracle_sql_computed() -> dict[str, str]:
         "simhash_near_dup": _simhash_oracle_sql(),
         "text_fingerprint": f"""
             WITH powers(e, p) AS (VALUES {_sql_poly_powers(8)}),
-            d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100
+                   AND length(text) >= 24
+                   AND strlen(text) = length(text)),
             pos AS (
                 SELECT doc_id, text,
                        unnest(generate_series(1, length(text) - 7)) AS i

@@ -81,7 +81,15 @@ def _barrier(df: DataFrame, kind: str) -> DataFrame:
       size is observable via the storage registry.
     * ``"localCheckpoint"``: executor-local checkpoint (memory+disk,
       lineage truncated) — the constrained-memory deploy choice; lazy,
-      so plan-building stays side-effect free.
+      so plan-building stays side-effect free. INCOMPATIBLE with the
+      ``cluster`` profile's ``spark.dynamicAllocation.enabled``: local
+      checkpoint blocks live only on the executors that wrote them, so
+      a decommissioned executor silently destroys them mid-job (Spark's
+      own docs warn against the combination). Under dynamic allocation
+      use ``"cache"`` (recomputable lineage survives executor loss) or
+      a reliable ``df.checkpoint()`` with a checkpoint dir, or raise
+      ``spark.dynamicAllocation.cachedExecutorIdleTimeout`` so holders
+      are never reclaimed.
     * ``"none"``: no barrier — ONLY for plans where the caller
       guarantees the exact map filter is cheap, because without the
       barrier Catalyst merges the exact from_json filter into the

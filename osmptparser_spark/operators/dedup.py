@@ -117,10 +117,23 @@ def _segment_hashes(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np
         return _splitmix64(h)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    input arrives in fewer partitions (a small parquet file reads as
+    ONE split, which would run every downstream python stage on one
+    core). At real scale the input has >= cores splits and this is a
+    no-op — no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 9
 ) -> DataFrame:
     """id -> array of distinct shingle hashes (mapInPandas, Arrow batches)."""
+    df = _spread(df)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -150,14 +163,52 @@ def minhash_signatures(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
-            for sh in pdf["shingles"]:
-                x = np.asarray(sh, dtype=np.int64).astype(np.uint64)
+            if len(pdf) == 0:
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": []})
+                continue
+            # Chunked matrices instead of a per-doc loop: concat docs'
+            # shingles until ~128k rows, hash the (chunk_S, m) lanes in
+            # one shot, per-doc column minima via minimum.reduceat over
+            # doc boundary offsets. The chunk bound keeps the work
+            # matrix ~64 MB regardless of Arrow batch size (an
+            # unchunked batch of 10k docs would allocate GBs and stall
+            # on memory, measured 5-10x slower end-to-end).
+            arrs = [np.asarray(s, dtype=np.int64) for s in pdf["shingles"]]
+            lens = np.fromiter((len(s) for s in arrs), dtype=np.int64, count=len(arrs))
+            sig_out = np.empty((len(arrs), num_hashes), dtype=np.int64)
+            # chunk bound: the (chunk_S, m) work matrix stays ~2 MB so
+            # it lives in per-core cache — many executor threads each
+            # streaming multi-10s-of-MB matrices saturate shared memory
+            # bandwidth/LLC on a dense host (measured: 30x vCPU-time
+            # inflation at 32-way parallelism with 64 MB chunks)
+            CHUNK_S = 4096
+            shift = np.uint64(61)
+            lo = 0
+            while lo < len(arrs):
+                hi, tot = lo, 0
+                while hi < len(arrs) and (tot == 0 or tot + lens[hi] <= CHUNK_S):
+                    tot += lens[hi]
+                    hi += 1
+                x = np.concatenate(arrs[lo:hi]).astype(np.uint64)
                 x32 = (x >> np.uint64(32)) ^ (x & np.uint64(0xFFFFFFFF))
-                # (m, h) in uint64: max (2^31)(2^32)+2^31 < 2^63
-                vals = (x32[:, None] * a[None, :] + b[None, :]) % p
-                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
+                # (chunk_S, m) in uint64: max (2^31)(2^32)+2^31 < 2^63;
+                # in-place ops — one live matrix, no temporaries
+                y = x32[:, None] * a[None, :]
+                y += b[None, :]
+                # branchless Mersenne-61 reduction: for y < 2^63,
+                # (y & p) + (y >> 61) < p + 4, one conditional subtract
+                # finishes — identical to y % p without the hardware
+                # division (the measured hot op of this stage)
+                hi_bits = y >> shift
+                y &= p
+                y += hi_bits
+                np.subtract(y, p, out=y, where=y >= p)
+                starts = np.concatenate([[0], np.cumsum(lens[lo:hi])[:-1]])
+                sig_out[lo:hi] = np.minimum.reduceat(y, starts, axis=0)
+                lo = hi
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "signature": list(sig_out)}
+            )
 
     return shingles.mapInPandas(gen, "doc_id BIGINT, signature ARRAY<BIGINT>")
 

@@ -314,9 +314,11 @@ def _brute_knn(
     rescue remainder), NEVER the candidate table — the round-2 plan
     broadcast all candidates, an executor OOM at 10^9 rows. The
     candidate scan streams map-side; a per-(query, input-partition)
-    partial top-k (map-side complete, since each group lives in one
-    partition) bounds the shuffle to <= k rows per query per
-    partition; a final window merges the partials."""
+    partial top-k runs INSIDE the scan stage (mapInPandas keeps a
+    <= k running best per query across its partition's Arrow batches
+    — no aggregation buffer, no pre-shuffle collect_list), so the
+    shuffle into the final merge window carries at most k rows per
+    query per input partition."""
     pairs = (
         candidates.select(
             F.col(cand_id).alias("cand_id"),
@@ -330,23 +332,35 @@ def _brute_knn(
                 F.col("q_lat"), F.col("q_lon"), F.col("c_lat"), F.col("c_lon")
             ),
         )
+        .select("query_id", "cand_id", "dist_m")
     )
-    partial = (
-        pairs.withColumn("_pid", F.spark_partition_id())
-        .groupBy("query_id", "_pid")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("dist_m", "cand_id"))),
-                1,
-                k,
-            ).alias("_tk")
-        )
-        .select("query_id", F.explode("_tk").alias("_t"))
-        .select(
-            "query_id",
-            F.col("_t.cand_id").alias("cand_id"),
-            F.col("_t.dist_m").alias("dist_m"),
-        )
+
+    def partial_topk(batches):
+        # qid -> (dists, cands), each <= k, ordered by (dist, cand)
+        best: dict = {}
+        for pdf in batches:
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                d = grp["dist_m"].to_numpy()
+                c = grp["cand_id"].to_numpy()
+                if qid in best:
+                    d = np.concatenate([best[qid][0], d])
+                    c = np.concatenate([best[qid][1], c])
+                order = np.lexsort((c, d))[:k]
+                best[qid] = (d[order], c[order])
+        if best:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        np.fromiter(best, dtype=np.int64, count=len(best)),
+                        [len(v[0]) for v in best.values()],
+                    ),
+                    "cand_id": np.concatenate([v[1] for v in best.values()]),
+                    "dist_m": np.concatenate([v[0] for v in best.values()]),
+                }
+            )
+
+    partial = pairs.mapInPandas(
+        partial_topk, "query_id BIGINT, cand_id BIGINT, dist_m DOUBLE"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m"), F.col("cand_id"))
     return (

@@ -29,6 +29,7 @@ def interval_join(
     start: str = "t_start",
     end: str = "t_end",
     bucket_width: int | None = None,
+    max_explode_buckets: int = 256,
 ) -> DataFrame:
     """Range join: every (point, interval) pair with ``start <= t <
     end`` — the 1-D twin of the spatial cell join. Catalyst would plan
@@ -40,8 +41,18 @@ def interval_join(
 
     ``bucket_width`` defaults to a driver-side sample of the median
     interval length (one tiny job); pass it explicitly in production
-    pipelines. Long intervals explode into multiple bucket rows
-    (cost = length / width per interval, the usual grid trade-off).
+    pipelines.
+
+    Outliers: an interval spanning more than ``max_explode_buckets``
+    grid cells (a year-long interval among second-scale ones) does NOT
+    explode into length/width rows — such rows split to a small
+    broadcast theta path instead, so the explode side is bounded at
+    ``max_explode_buckets`` rows per interval no matter the length
+    distribution. Empty or reversed intervals (``end <= start``) can
+    match no point and are dropped up front — without the guard a
+    single reversed row would generate a huge DESCENDING bucket
+    sequence (F.sequence auto-steps -1) that the residual filter then
+    throws away.
     """
     if bucket_width is None:
         med = (
@@ -50,23 +61,22 @@ def interval_join(
             ).first()["m"]
         )
         bucket_width = max(int(med or 1), 1)
+    iv_all = intervals.filter(F.col(end) > F.col(start))
+    first_b = F.floor(F.col(start) / F.lit(bucket_width)).cast("long")
+    last_b = F.floor((F.col(end) - 1) / F.lit(bucket_width)).cast("long")
+    is_outlier = (last_b - first_b) >= F.lit(max_explode_buckets)
+    residual = (F.col(start) <= F.col(on)) & (F.col(on) < F.col(end))
+
     p = points.withColumn(
         "_bucket", F.floor(F.col(on) / F.lit(bucket_width)).cast("long")
     )
-    iv = intervals.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start) / F.lit(bucket_width)).cast("long"),
-                F.floor((F.col(end) - 1) / F.lit(bucket_width)).cast("long"),
-            )
-        ),
+    iv = iv_all.filter(~is_outlier).withColumn(
+        "_bucket", F.explode(F.sequence(first_b, last_b))
     )
-    return (
-        p.join(iv, "_bucket")
-        .filter((F.col(start) <= F.col(on)) & (F.col(on) < F.col(end)))
-        .drop("_bucket")
-    )
+    grid = p.join(iv, "_bucket").filter(residual).drop("_bucket")
+    outliers = iv_all.filter(is_outlier)
+    theta = points.join(F.broadcast(outliers), residual)
+    return grid.unionByName(theta)
 
 
 def asof_join(

@@ -83,8 +83,50 @@ class TestIntervalJoin:
             if s <= t < e
         }
         assert got == want and len(want) > 100
+        # the mass path is a bucket EQUI-join; the only BNLJ allowed is
+        # the bounded broadcast residual for >max_explode_buckets
+        # outliers (empty here, but planned)
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+        assert any(
+            j in plan
+            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        )
+
+    def test_outlier_interval_bounded_explode(self, spark):
+        from osmptparser_spark.operators.temporal import interval_join
+
+        # a year-long interval among second-scale ones: at width 1 the
+        # explode path would need ~3.2e7 bucket rows (F.sequence errors
+        # past 1e6 elements) — the outlier split must route it to the
+        # broadcast theta path instead and still return exact results
+        pts = [(1, 5), (2, 1_000_000), (3, 20_000_000), (4, 40_000_000)]
+        ivs = [(7, 0, 10), (8, 3, 8), (9, 1, 31_536_000)]
+        pdf = spark.createDataFrame(pts, "pid BIGINT, t BIGINT")
+        idf = spark.createDataFrame(ivs, "iid BIGINT, t_start BIGINT, t_end BIGINT")
+        out = interval_join(pdf, idf, bucket_width=1)
+        got = {(r.pid, r.iid) for r in out.select("pid", "iid").collect()}
+        want = {(p, i) for p, t in pts for i, s, e in ivs if s <= t < e}
+        assert got == want == {(1, 7), (1, 8), (1, 9), (2, 9), (3, 9)}
+
+    def test_reversed_interval_is_noop(self, spark):
+        from osmptparser_spark.operators.temporal import interval_join
+
+        # end < start once exploded into a DESCENDING F.sequence (auto
+        # step -1): millions of spurious bucket rows. Now dropped up
+        # front — reversed/empty intervals can never match.
+        pdf = spark.createDataFrame([(1, 50)], "pid BIGINT, t BIGINT")
+        idf = spark.createDataFrame(
+            [(7, 5_000_000, 0), (8, 40, 60), (9, 10, 10)],
+            "iid BIGINT, t_start BIGINT, t_end BIGINT",
+        )
+        got = {
+            (r.pid, r.iid)
+            for r in interval_join(pdf, idf, bucket_width=10)
+            .select("pid", "iid")
+            .collect()
+        }
+        assert got == {(1, 8)}
 
     def test_sampled_bucket_width(self, spark):
         from osmptparser_spark.operators.temporal import interval_join
