@@ -71,6 +71,33 @@ def _time(fn):
     return out, time.time() - t0
 
 
+def _capacity_probe(n: int = 8_000_000) -> float:
+    """Single-thread fixed-work microbenchmark (~0.05-0.1 s on a
+    healthy core): splitmix64 over ``n`` uint64 lanes. Min of 3 runs.
+
+    Why: this host's capacity swings 2-5x on minute-to-day scales in
+    ways /proc/stat steal only partially reflects (measured round 4:
+    byte-identical code+confs spanned 47.8 s to >300 s on one leg
+    across an hour, each steal-clean). Recording the probe next to
+    every trial gives each number an in-band capacity reference — a
+    slow wall time with a slow probe is a trough draw, not a
+    regression."""
+    import numpy as np
+
+    best = float("inf")
+    x = np.arange(n, dtype=np.uint64)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with np.errstate(over="ignore"):
+            y = x ^ (x >> np.uint64(30))
+            y *= np.uint64(0xBF58476D1CE4E5B9)
+            y ^= y >> np.uint64(27)
+            y *= np.uint64(0x94D049BB133111EB)
+            y ^= y >> np.uint64(31)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _metered_leg(fn, steal_rate_max: float, max_extra: int = 2):
     """Run one suite leg with the same auditability the geo headline
     has: record {wall, cpu, steal} per attempt and retry (bounded)
@@ -270,13 +297,15 @@ def main():
     while len(runs) < trials or (
         len(runs) < max_trials and min(runs)[2] / max(min(runs)[0], 1e-9) > steal_rate_max
     ):
+        probe = _capacity_probe()
         c0, s0 = _tree_cpu_seconds(), _steal_seconds()
         _, dt = _time(lambda: geo_pipeline(pages))
-        runs.append((dt, _tree_cpu_seconds() - c0, _steal_seconds() - s0))
-    t_geo, cpu_geo, steal_geo = min(runs)
+        runs.append((dt, _tree_cpu_seconds() - c0, _steal_seconds() - s0, probe))
+    t_geo, cpu_geo, steal_geo, probe_geo = min(runs)
     timings["geo_pipeline_pages"] = round(t_geo, 3)
 
     # ---- operator suite over driver testdata ------------------------------
+    probe_suite_before = _capacity_probe()
     legs: dict[str, dict] = {}
     queries = entry_mod.queries()
     for name in BENCH_QUERIES if not os.environ.get("SPARK_GRAFT_SKIP_SUITE") else []:
@@ -329,10 +358,18 @@ def main():
         "geo_cpu_sec": round(cpu_geo, 2),
         "geo_steal_sec": round(steal_geo, 2),
         "geo_trials": [
-            {"wall": round(w, 2), "cpu": round(c, 2), "steal": round(s, 2)}
-            for w, c, s in runs
+            {
+                "wall": round(w, 2),
+                "cpu": round(c, 2),
+                "steal": round(s, 2),
+                "probe": round(p, 4),
+            }
+            for w, c, s, p in runs
         ],
+        "capacity_probe_sec": round(probe_geo, 4),
         "geo_clean": steal_geo / max(t_geo, 1e-9) <= steal_rate_max,
+        "capacity_probe_suite": round(probe_suite_before, 4),
+        "capacity_probe_end": round(_capacity_probe(), 4),
         "legs": legs,
     }
     print(json.dumps(result))

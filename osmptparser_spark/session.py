@@ -48,9 +48,8 @@ PROFILE_CONFS = {
         # skipping shuffle compression measured ~25-30% less CPU on
         # the repartition+sort leg with identical results. The
         # cluster profile keeps compression ON (network shuffle).
-        "spark.driver.extraJavaOptions": (
-            "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2"
-        ),
+        # (GC thread count is sized to the leg's cores in build_confs
+        # so a taskset-pinned 2-core scaling leg isn't oversubscribed.)
         "spark.shuffle.compress": "false",
         "spark.shuffle.spill.compress": "false",
     },
@@ -93,6 +92,18 @@ def build_confs(
         )
     merged = dict(DEFAULT_CONFS)
     merged.update(PROFILE_CONFS[profile])
+    if profile == "local":
+        # GC workers sized to the cores this JVM will actually own
+        # ($SPARK_GRAFT_CPUS when pinned, else all): capped at 8 so a
+        # 32-thread driver isn't preempted by ~23 default G1 workers,
+        # floored at 2, never more than the cores themselves.
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
+        cores = int(cpus_env) if cpus_env.isdigit() else (os.cpu_count() or 8)
+        par = max(2, min(8, cores))
+        merged.setdefault(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ParallelGCThreads={par} -XX:ConcGCThreads={max(1, par // 4)}",
+        )
     if shuffle_partitions is not None:
         merged["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if confs:
