@@ -913,6 +913,66 @@ def _q_interval_join(spark, sf_dir):
     ).select("click_id", "signup_id")
 
 
+def _q_x5_preset_filter(spark, sf_dir):
+    # X5: the reference's preset filter strings (mod.rs:151,157-163 —
+    # ptv2, ptv2-strict, administrative areas) run through the real
+    # grammar compiler (compile_tag_filter) over a deterministic tags
+    # map derived from part. The DuckDB oracle re-derives the SAME tag
+    # presence/value rules and hand-writes each preset's predicate as
+    # plain SQL (no shared compiler code), so green certifies both the
+    # preset strings and the `&`/`=`/`,` grammar end-to-end.
+    from osmptparser_spark.functions.tagfilter import (
+        AA_FILTER,
+        PTV2_FILTER,
+        PTV2_FILTER_STRICT,
+        compile_tag_filter,
+    )
+
+    k = F.col("p_partkey")
+    route_v = F.element_at(
+        F.array(
+            *[F.lit(v) for v in ("bus", "tram", "ferry", "car", "light_rail")]
+        ),
+        ((k % 5) + 1).cast("int"),
+    )
+    boundary_v = (
+        F.when(k % 5 < 3, F.lit("administrative")).otherwise(F.lit("maritime"))
+    )
+    entry = lambda key, val: F.struct(  # noqa: E731
+        F.lit(key).alias("key"), val.cast("string").alias("value")
+    )
+    entries = F.array_compact(
+        F.array(
+            F.when(k % 3 != 0, entry("name", F.concat(F.lit("n"), k.cast("string")))),
+            F.when(k % 2 == 0, entry("route", route_v)),
+            F.when(k % 7 == 0, entry("route_master", F.lit("bus"))),
+            F.when(k % 4 == 1, entry("admin_level", (k % 11).cast("string"))),
+            F.when(k % 6 < 3, entry("boundary", boundary_v)),
+        )
+    )
+    base = _t(spark, sf_dir, "part").select(
+        k.cast("long").alias("k"), F.map_from_entries(entries).alias("tags")
+    )
+    parts = []
+    for name, flt in (
+        ("admin_areas", AA_FILTER),
+        ("ptv2", PTV2_FILTER),
+        ("ptv2_strict", PTV2_FILTER_STRICT),
+    ):
+        parts.append(
+            base.filter(compile_tag_filter(flt))
+            .agg(
+                F.count("*").cast("long").alias("n_match"),
+                F.sum("k").cast("long").alias("sum_key"),
+            )
+            .select(F.lit(name).alias("preset"), "n_match", "sum_key")
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
 def _q_w9_lineage(spark, sf_dir):
     # W9: 3-stage pipeline through LineageTracker (parquet checkpoints +
     # per-partition manifests); the query returns each stage's manifest
@@ -979,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "asof_join": _q_asof_join,
         "interval_join": _q_interval_join,
+        "x5_preset_filter": _q_x5_preset_filter,
     }
 
 
@@ -1434,6 +1495,41 @@ def _oracle_sql_computed() -> dict[str, str]:
              AND c.user_id < 10 AND s.user_id < 10
              AND epoch_us(s.ts) <= epoch_us(c.ts)
              AND epoch_us(c.ts) < epoch_us(s.ts) + 3600000000
+        """,
+        # Independent re-derivation of _q_x5_preset_filter's tag rules:
+        # booleans for key presence, CASE for values, each preset's
+        # semantics hand-written (grammar NOT shared with the compiler).
+        "x5_preset_filter": """
+            WITH t AS (
+                SELECT CAST(p_partkey AS BIGINT) AS k,
+                       (p_partkey % 3) <> 0 AS has_name,
+                       (p_partkey % 2) = 0 AS has_route,
+                       CASE (p_partkey % 5)
+                            WHEN 0 THEN 'bus' WHEN 1 THEN 'tram'
+                            WHEN 2 THEN 'ferry' WHEN 3 THEN 'car'
+                            ELSE 'light_rail' END AS route_v,
+                       (p_partkey % 7) = 0 AS has_route_master,
+                       (p_partkey % 4) = 1 AS has_admin_level,
+                       (p_partkey % 6) < 3 AS has_boundary,
+                       CASE WHEN (p_partkey % 5) < 3 THEN 'administrative'
+                            ELSE 'maritime' END AS boundary_v
+                FROM part
+            )
+            SELECT 'admin_areas' AS preset, COUNT(*) AS n_match,
+                   CAST(SUM(k) AS BIGINT) AS sum_key
+            FROM t WHERE has_name AND has_admin_level AND has_boundary
+                     AND boundary_v = 'administrative'
+            UNION ALL
+            SELECT 'ptv2', COUNT(*), CAST(SUM(k) AS BIGINT)
+            FROM t WHERE has_name AND has_route AND route_v IN
+                  ('bus','tram','train','subway','light_rail',
+                   'monorail','trolleybus')
+            UNION ALL
+            SELECT 'ptv2_strict', COUNT(*), CAST(SUM(k) AS BIGINT)
+            FROM t WHERE has_name AND has_route_master AND has_route
+                     AND route_v IN
+                  ('bus','tram','train','subway','light_rail',
+                   'monorail','trolleybus')
         """,
         "ngram_jaccard": """
             WITH d AS (

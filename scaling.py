@@ -127,10 +127,15 @@ def run_leg(cpus: int, routes: int, max_load: float, steal_rate_max: float,
             r["steal_clean"] = True
             return r
     if best is None:
-        raise RuntimeError(
-            f"every attempt of the cpus={cpus} leg timed out; host too "
-            "stormy to measure"
+        # every attempt timed out mid-storm: return None instead of
+        # raising so the session keeps the pairs it already measured
+        # (a crash here used to lose a 40-min session's output).
+        print(
+            f"[scaling] leg cpus={cpus} ABANDONED: every attempt timed "
+            "out; host too stormy",
+            file=sys.stderr, flush=True,
         )
+        return None
     best["steal_clean"] = False
     return best
 
@@ -168,9 +173,42 @@ def main():
 
     steal_rate_max = float(os.environ.get("SPARK_GRAFT_STEAL_RATE_MAX", "0.5"))
     legs_N, legs_4N = [], []
+    legs_path = os.path.join(HERE, "scaling_legs.jsonl")
+
+    def _record(leg: dict | None, cores: int) -> None:
+        # durable per-leg dump: a later crash/abandon can no longer lose
+        # already-measured legs (they can be re-aggregated by hand).
+        if leg is None:
+            row = {"cores": cores, "abandoned": True}
+        else:
+            row = {
+                "cores": cores,
+                "wall": leg["queries"]["geo_pipeline_pages"],
+                "cpu": leg.get("geo_cpu_sec"),
+                "steal": leg.get("geo_steal_sec"),
+                "clean": bool(leg.get("steal_clean")),
+                "pages": leg.get("pages"),
+            }
+        with open(legs_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
     for p in range(pairs):
-        legs_N.append(run_leg(n, routes, max_load, steal_rate_max))
-        legs_4N.append(run_leg(n4, routes, max_load, steal_rate_max))
+        leg = run_leg(n, routes, max_load, steal_rate_max)
+        _record(leg, n)
+        if leg is not None:
+            legs_N.append(leg)
+        leg = run_leg(n4, routes, max_load, steal_rate_max)
+        _record(leg, n4)
+        if leg is not None:
+            legs_4N.append(leg)
+
+    if not legs_N or not legs_4N:
+        print(
+            "[scaling] session unusable: a whole side was abandoned "
+            f"(N legs {len(legs_N)}, 4N legs {len(legs_4N)})",
+            file=sys.stderr, flush=True,
+        )
+        return 1
 
     rN, r4N = _select(legs_N), _select(legs_4N)
     tN = rN["queries"]["geo_pipeline_pages"]
