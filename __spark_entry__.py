@@ -388,6 +388,20 @@ def _minhash_input(spark, sf_dir):
     return d.select("doc_id", "text").unionByName(dups)
 
 
+def _minhash_chain_input(spark, sf_dir):
+    # _minhash_input plus a SECOND variant per planted doc, so the
+    # near-dup graph has 3-node components and pair→cluster transitive
+    # closure (dedup_clusters) has real multi-edge work to do.
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 150) & (F.octet_length("text") == F.length("text"))
+    )
+    dups2 = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" tail tail")).alias("text"),
+    )
+    return _minhash_input(spark, sf_dir).unionByName(dups2)
+
+
 def _q_minhash_near_dup(spark, sf_dir):
     # Exact-integer output: the DuckDB oracle recomputes the 9-byte
     # shingle sets from substrings and must land on the same
@@ -399,6 +413,18 @@ def _q_minhash_near_dup(spark, sf_dir):
     return minhash_lsh_pairs(_minhash_input(spark, sf_dir), threshold=0.5).select(
         "id_a", "id_b", "n_common", "n_union"
     )
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    # Pair→cluster closure: MinHash/LSH pairs (threshold 0.5) fed to
+    # large-star/small-star connected components; every doc gets a
+    # component_id (singletons map to themselves), keep rule is
+    # doc_id == component_id. The oracle recomputes the pairs from
+    # shingle sets in SQL and closes them with a recursive CTE — a
+    # fully independent derivation of the same clustering.
+    from osmptparser_spark.operators.components import near_dup_clusters
+
+    return near_dup_clusters(_minhash_chain_input(spark, sf_dir), threshold=0.5)
 
 
 def _q_simhash_near_dup(spark, sf_dir):
@@ -744,7 +770,15 @@ def _q_w6_pip(spark, sf_dir):
         (((F.col("event_id") * 7 + F.col("user_id") * 13) % 4000) / 1000.0 - 2.0).alias("lat"),
         ((F.col("event_id") * 3 % 4000) / 1000.0 - 80.0).alias("lon"),
     )
-    polys = spark.createDataFrame(
+    from osmptparser_spark.session import local_df
+
+    # local_df(slices=1), not bare createDataFrame: the cells plan scans
+    # the polygon side twice per action (cover mapInPandas + ring
+    # re-attach), and a defaultParallelism-sliced 2-row table pays 64
+    # Python task dispatches per run — the bench leg's dominant cost
+    # under host contention.
+    polys = local_df(
+        spark,
         [
             (1, [(lo, la) for la, lo in _PIP_RECT]),
             (2, [(lo, la) for la, lo in _PIP_TRI]),
@@ -1021,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_rollup": _q_a4_rollup,
         # structural oracles: SQL recomputation or pinned VALUES goldens
         "minhash_near_dup": _q_minhash_near_dup,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_near_dup": _q_simhash_near_dup,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1410,6 +1445,56 @@ def _oracle_sql_computed() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE base AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < 150 AND strlen(text) = length(text)
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text || ' tail' AS text
+                FROM documents
+                WHERE doc_id < 150 AND doc_id % 20 = 0
+                  AND strlen(text) = length(text)
+                UNION ALL
+                SELECT doc_id + 20000000 AS doc_id, text || ' tail tail' AS text
+                FROM documents
+                WHERE doc_id < 150 AND doc_id % 20 = 0
+                  AND strlen(text) = length(text)
+            ), pos AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, greatest(length(text) - 8, 1))) AS i
+                FROM base
+            ), sh AS (
+                SELECT DISTINCT doc_id, substring(text, i, 9) AS g FROM pos
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b USING (g)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+            ), sym AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ), reach(u, v) AS (
+                SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            ), comp AS (
+                SELECT u AS doc_id, least(u, min(v)) AS component_id
+                FROM reach GROUP BY u
+            )
+            SELECT b.doc_id,
+                   CAST(coalesce(c.component_id, b.doc_id) AS BIGINT)
+                       AS component_id
+            FROM base b LEFT JOIN comp c USING (doc_id)
         """,
         "simhash_near_dup": _simhash_oracle_sql(),
         "text_fingerprint": f"""

@@ -117,4 +117,6 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
                 (8, 8, 16000, 1 + (i % 10)),
             )
         )
-    return spark.createDataFrame(rows, MEDIA_DDL)
+    from ..session import local_df
+
+    return local_df(spark, rows, MEDIA_DDL)

@@ -132,3 +132,24 @@ def get_spark(
     for k, v in build_confs(profile, shuffle_partitions, confs).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def local_df(spark: SparkSession, rows, ddl: str, slices: int | None = None):
+    """DataFrame over a small driver-local row list, with an EXPLICIT
+    partition count.
+
+    ``spark.createDataFrame(list)`` parallelizes the collection into
+    ``defaultParallelism`` slices — on a 32-core session a 2-row dim
+    table becomes 32 near-empty Python tasks, re-dispatched on EVERY
+    action that scans it (measured here: ~0.7 s/action quiet,
+    multi-second under host contention — each slice pays a Python
+    worker round-trip). Dim tables in hot paths (W6 polygons, PBF blob
+    index, multimodal fixtures) use this instead: ``slices`` defaults
+    to ~1 slice per 64 rows, capped at defaultParallelism, so tiny
+    inputs cost one task and real inputs still spread.
+    """
+    rows = list(rows)
+    if slices is None:
+        par = spark.sparkContext.defaultParallelism
+        slices = max(1, min(par, (len(rows) + 63) // 64))
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, slices), ddl)

@@ -119,7 +119,9 @@ def entities_to_pages(
 
 
 def pages_df(spark: SparkSession, pages) -> DataFrame:
-    return spark.createDataFrame(pages, PAGES_DDL)
+    from ..session import local_df
+
+    return local_df(spark, pages, PAGES_DDL)
 
 
 # --- extraction (W1) -----------------------------------------------------------

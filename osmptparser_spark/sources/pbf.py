@@ -544,10 +544,16 @@ def read_pbf_spark(spark, path: str, parallelism: int | None = None):
     refs = [r for r in scan_blob_index(path) if r.blob_type == "OSMData"]
     if parallelism is None:
         parallelism = max(1, min(len(refs), spark.sparkContext.defaultParallelism))
+    # parallelize straight to `parallelism` slices: skips both the
+    # defaultParallelism fan-out of a bare createDataFrame (32 Python
+    # tasks for a handful of blob refs) and the repartition shuffle it
+    # would take to fix up afterwards.
     ref_df = spark.createDataFrame(
-        [(path, r.offset, r.size) for r in refs],
+        spark.sparkContext.parallelize(
+            [(path, r.offset, r.size) for r in refs], parallelism
+        ),
         "path STRING, offset BIGINT, size BIGINT",
-    ).repartition(parallelism)
+    )
 
     def _decode_nodes(batches):
         for pdf in batches:
