@@ -427,6 +427,27 @@ def _q_dedup_clusters(spark, sf_dir):
     return near_dup_clusters(_minhash_chain_input(spark, sf_dir), threshold=0.5)
 
 
+def _q_seq_packing(spark, sf_dir):
+    # Training-sequence packing: greedy next-fit over token counts,
+    # shard-local (doc_id % 8), budget 256. Token counts use the same
+    # single-space length arithmetic as text_token_count so the DuckDB
+    # twin is exact; the oracle replays the greedy scan per shard with
+    # a recursive CTE — an independent sequential derivation of every
+    # pack boundary.
+    from osmptparser_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).cast("long")
+    return pack_sequences(
+        d.select("doc_id", toks.alias("tok")),
+        budget=256,
+        tokens_col="tok",
+        shard=8,
+    )
+
+
 def _q_simhash_near_dup(spark, sf_dir):
     # Planted NEAR-pairs (one rare token prepended -> hamming spread
     # 0-6 on this corpus), restricted to planted ids. The oracle
@@ -1056,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structural oracles: SQL recomputation or pinned VALUES goldens
         "minhash_near_dup": _q_minhash_near_dup,
         "dedup_clusters": _q_dedup_clusters,
+        "seq_packing": _q_seq_packing,
         "simhash_near_dup": _q_simhash_near_dup,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1495,6 +1517,37 @@ def _oracle_sql_computed() -> dict[str, str]:
                    CAST(coalesce(c.component_id, b.doc_id) AS BIGINT)
                        AS component_id
             FROM base b LEFT JOIN comp c USING (doc_id)
+        """,
+        "seq_packing": """
+            WITH RECURSIVE base AS (
+                SELECT doc_id, doc_id % 8 AS shard,
+                       greatest(1, length(text)
+                                   - length(replace(text, ' ', '')) + 1)
+                           AS n_tokens,
+                       row_number() OVER (
+                           PARTITION BY doc_id % 8 ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ), rec AS (
+                SELECT shard, rn, doc_id, n_tokens,
+                       CAST(0 AS BIGINT) AS pack, n_tokens AS acc,
+                       CAST(0 AS BIGINT) AS pos
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+                       CASE WHEN r.acc + b.n_tokens > 256
+                            THEN r.pack + 1 ELSE r.pack END,
+                       CASE WHEN r.acc + b.n_tokens > 256
+                            THEN b.n_tokens ELSE r.acc + b.n_tokens END,
+                       CASE WHEN r.acc + b.n_tokens > 256
+                            THEN 0 ELSE r.pos + 1 END
+                FROM rec r JOIN base b
+                  ON b.shard = r.shard AND b.rn = r.rn + 1
+            )
+            SELECT doc_id, shard,
+                   shard * 4294967296 + pack AS pack_id,
+                   pos AS pack_pos, n_tokens
+            FROM rec
         """,
         "simhash_near_dup": _simhash_oracle_sql(),
         "text_fingerprint": f"""
