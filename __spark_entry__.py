@@ -436,7 +436,12 @@ def _q_seq_packing(spark, sf_dir):
     # pack boundary.
     from osmptparser_spark.operators.packing import pack_sequences
 
-    d = _t(spark, sf_dir, "documents")
+    # doc_id >= 0 precondition (applied identically in the oracle):
+    # the impl shards with pmod, the SQL with %, which diverge on
+    # negative ids — filtering both sides keeps the contract
+    # corpus-proof instead of relying on the current ids being
+    # non-negative.
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 0)
     toks = (
         F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
     ).cast("long")
@@ -1527,7 +1532,7 @@ def _oracle_sql_computed() -> dict[str, str]:
                        row_number() OVER (
                            PARTITION BY doc_id % 8 ORDER BY doc_id
                        ) AS rn
-                FROM documents
+                FROM documents WHERE doc_id >= 0
             ), rec AS (
                 SELECT shard, rn, doc_id, n_tokens,
                        CAST(0 AS BIGINT) AS pack, n_tokens AS acc,
