@@ -453,6 +453,33 @@ def _q_seq_packing(spark, sf_dir):
     )
 
 
+def _q_text_repetition(spark, sf_dir):
+    # Gopher-style repetition signals; literal single-space split on
+    # both sides (no regex dialect), fixed-point x1e4 integer division
+    # in both engines. Oracle recomputes every bigram mode in SQL.
+    from osmptparser_spark.functions.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_vocab_topk(spark, sf_dir):
+    # Corpus vocabulary: top-50 tokens, ties broken by token string so
+    # the limit boundary is deterministic in both engines.
+    from osmptparser_spark.functions.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+def _q_corpus_sample(spark, sf_dir):
+    # Quality floor -> per-source cap -> deterministic hash sample.
+    # doc_id >= 0 precondition as in seq_packing (pmod vs %); the
+    # oracle replays the identical window + keep-mask arithmetic.
+    from osmptparser_spark.operators.sampling import corpus_sample
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 0)
+    return corpus_sample(d, source_cap=40, fraction=0.5, min_chars=20)
+
+
 def _q_simhash_near_dup(spark, sf_dir):
     # Planted NEAR-pairs (one rare token prepended -> hamming spread
     # 0-6 on this corpus), restricted to planted ids. The oracle
@@ -1083,6 +1110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "dedup_clusters": _q_dedup_clusters,
         "seq_packing": _q_seq_packing,
+        "text_repetition": _q_text_repetition,
+        "vocab_topk": _q_vocab_topk,
+        "corpus_sample": _q_corpus_sample,
         "simhash_near_dup": _q_simhash_near_dup,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1553,6 +1583,49 @@ def _oracle_sql_computed() -> dict[str, str]:
                    shard * 4294967296 + pack AS pack_id,
                    pos AS pack_pos, n_tokens
             FROM rec
+        """,
+        "text_repetition": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ), base AS (
+                SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS d
+                FROM toks
+            ), big AS (
+                SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+                FROM toks, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+            ), bc AS (
+                SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2
+            ), bm AS (
+                SELECT doc_id, max(c) AS m FROM bc GROUP BY 1
+            )
+            SELECT b.doc_id, n AS n_tokens, d AS n_distinct,
+                   ((n - d) * 10000) // n AS dup_token_frac_x1e4,
+                   CASE WHEN n >= 2
+                        THEN (coalesce(m, 0) * 10000) // (n - 1)
+                        ELSE 0 END AS top_bigram_frac_x1e4
+            FROM base b LEFT JOIN bm USING (doc_id)
+        """,
+        "vocab_topk": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+        """,
+        "corpus_sample": """
+            WITH floored AS (
+                SELECT doc_id, source FROM documents
+                WHERE doc_id >= 0 AND length(text) >= 20
+            ), capped AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY doc_id
+                       ) AS rank_in_group
+                FROM floored
+            )
+            SELECT doc_id, source, rank_in_group FROM capped
+            WHERE rank_in_group <= 40
+              AND ((doc_id % 1000003) * 2654435761) % 2147483647
+                  % 10000 < 5000
         """,
         "simhash_near_dup": _simhash_oracle_sql(),
         "text_fingerprint": f"""

@@ -142,3 +142,88 @@ def fingerprint_df(
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "fingerprints": fps})
 
     return df.mapInPandas(gen, "doc_id BIGINT, fingerprints ARRAY<BIGINT>")
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, exact-integer outputs:
+
+    * ``dup_token_frac_x1e4`` — fraction of tokens that are repeats of
+      an earlier token, ``(n - n_distinct) * 10^4 div n`` (fixed-point
+      so the DuckDB twin matches bit-for-bit; float division rounds
+      differently across engines);
+    * ``top_bigram_frac_x1e4`` — share of the most frequent bigram
+      among all ``n - 1`` bigrams (0 for single-token docs).
+
+    Boilerplate-heavy or degenerate machine text scores high on both;
+    a typical filter drops docs above ~3000 (30%). Tokenization is a
+    literal single-space split, identical in Spark and DuckDB by
+    construction (no regex-dialect divergence).
+
+    Plan shape: tokens/distinct are per-row Catalyst expressions; the
+    bigram mode needs one explode + two hash aggregations keyed by
+    (id, bigram) then (id) — map-side partial agg on both, no window,
+    no skew beyond a single document's own bigram count.
+    """
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    n = F.size(toks).cast("long")
+    d = F.size(F.array_distinct(toks)).cast("long")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        d.alias("n_distinct"),
+        F.expr(
+            f"(size(split({text_col}, ' ')) - "
+            f"size(array_distinct(split({text_col}, ' ')))) * 10000L "
+            f"div size(split({text_col}, ' '))"
+        ).alias("dup_token_frac_x1e4"),
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.lit(0), F.size(toks) - 1)),
+            F.slice(toks, 2, F.greatest(F.lit(0), F.size(toks) - 1)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ).alias("_bigrams"),
+    )
+    counts = (
+        base.select("doc_id", F.explode_outer("_bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.when(F.col("bg").isNotNull(), 1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_m"))
+    )
+    return (
+        base.drop("_bigrams")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "dup_token_frac_x1e4",
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.expr("coalesce(_m, 0) * 10000L div (n_tokens - 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("top_bigram_frac_x1e4"),
+        )
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide token vocabulary: top ``k`` tokens by count, ties
+    broken by token string. One explode + one hash aggregation with
+    map-side partials; the final top-k is a TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows), never a global
+    sort of the vocabulary.
+    """
+    return (
+        df.select(F.explode(F.split(text_col, " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
