@@ -140,8 +140,12 @@ def shingle_df(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
+                    # numpy int64 views, NOT .tolist(): Arrow consumes
+                    # the buffers directly, .tolist() boxes every
+                    # shingle into a Python int (measured: the boxing
+                    # alone cost seconds per million shingles)
                     "shingles": [
-                        _shingle_hashes(t, k).astype("int64").tolist()
+                        _shingle_hashes(t, k).view(np.int64)
                         for t in pdf[text_col]
                     ],
                 }
@@ -150,15 +154,20 @@ def shingle_df(
     return df.mapInPandas(gen, "doc_id BIGINT, shingles ARRAY<BIGINT>")
 
 
+def _minhash_params(num_hashes: int, seed: int):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 31, num_hashes).astype(np.uint64)
+    b = rng.integers(0, 1 << 31, num_hashes).astype(np.uint64)
+    return a, b
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
     """MinHash signatures over shingle arrays: h_i(x) = (a_i x32 + b_i)
     mod p, pure uint64 numpy (a_i, b_i < 2^31 and x folded to 32 bits,
     so a*x+b < 2^63 never overflows; p = 2^61 - 1)."""
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 31, num_hashes).astype(np.uint64)
-    b = rng.integers(0, 1 << 31, num_hashes).astype(np.uint64)
+    a, b = _minhash_params(num_hashes, seed)
     p = np.uint64(_MERSENNE)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -166,51 +175,86 @@ def minhash_signatures(
             if len(pdf) == 0:
                 yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": []})
                 continue
-            # Chunked matrices instead of a per-doc loop: concat docs'
-            # shingles until ~128k rows, hash the (chunk_S, m) lanes in
-            # one shot, per-doc column minima via minimum.reduceat over
-            # doc boundary offsets. The chunk bound keeps the work
-            # matrix ~64 MB regardless of Arrow batch size (an
-            # unchunked batch of 10k docs would allocate GBs and stall
-            # on memory, measured 5-10x slower end-to-end).
             arrs = [np.asarray(s, dtype=np.int64) for s in pdf["shingles"]]
-            lens = np.fromiter((len(s) for s in arrs), dtype=np.int64, count=len(arrs))
-            sig_out = np.empty((len(arrs), num_hashes), dtype=np.int64)
-            # chunk bound: the (chunk_S, m) work matrix stays ~2 MB so
-            # it lives in per-core cache — many executor threads each
-            # streaming multi-10s-of-MB matrices saturate shared memory
-            # bandwidth/LLC on a dense host (measured: 30x vCPU-time
-            # inflation at 32-way parallelism with 64 MB chunks)
-            CHUNK_S = 4096
-            shift = np.uint64(61)
-            lo = 0
-            while lo < len(arrs):
-                hi, tot = lo, 0
-                while hi < len(arrs) and (tot == 0 or tot + lens[hi] <= CHUNK_S):
-                    tot += lens[hi]
-                    hi += 1
-                x = np.concatenate(arrs[lo:hi]).astype(np.uint64)
-                x32 = (x >> np.uint64(32)) ^ (x & np.uint64(0xFFFFFFFF))
-                # (chunk_S, m) in uint64: max (2^31)(2^32)+2^31 < 2^63;
-                # in-place ops — one live matrix, no temporaries
-                y = x32[:, None] * a[None, :]
-                y += b[None, :]
-                # branchless Mersenne-61 reduction: for y < 2^63,
-                # (y & p) + (y >> 61) < p + 4, one conditional subtract
-                # finishes — identical to y % p without the hardware
-                # division (the measured hot op of this stage)
-                hi_bits = y >> shift
-                y &= p
-                y += hi_bits
-                np.subtract(y, p, out=y, where=y >= p)
-                starts = np.concatenate([[0], np.cumsum(lens[lo:hi])[:-1]])
-                sig_out[lo:hi] = np.minimum.reduceat(y, starts, axis=0)
-                lo = hi
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "signature": list(sig_out)}
+                {"doc_id": pdf["doc_id"], "signature": list(_min_sig(arrs, a, b, num_hashes))}
             )
 
     return shingles.mapInPandas(gen, "doc_id BIGINT, signature ARRAY<BIGINT>")
+
+
+def _min_sig(arrs, a: np.ndarray, b: np.ndarray, num_hashes: int) -> np.ndarray:
+    """(len(arrs), num_hashes) int64 MinHash matrix over shingle-hash
+    arrays. Chunked matrices instead of a per-doc loop: concat docs'
+    shingles until ~4k rows, hash the (chunk_S, m) lanes in one shot,
+    per-doc column minima via minimum.reduceat over doc boundary
+    offsets. The chunk bound keeps the work matrix ~2 MB so it lives
+    in per-core cache — many executor threads each streaming
+    multi-10s-of-MB matrices saturate shared memory bandwidth/LLC on a
+    dense host (measured: 30x vCPU-time inflation at 32-way
+    parallelism with 64 MB chunks)."""
+    p = np.uint64(_MERSENNE)
+    lens = np.fromiter((len(s) for s in arrs), dtype=np.int64, count=len(arrs))
+    sig_out = np.empty((len(arrs), num_hashes), dtype=np.int64)
+    CHUNK_S = 4096
+    shift = np.uint64(61)
+    lo = 0
+    while lo < len(arrs):
+        hi, tot = lo, 0
+        while hi < len(arrs) and (tot == 0 or tot + lens[hi] <= CHUNK_S):
+            tot += lens[hi]
+            hi += 1
+        x = np.concatenate(arrs[lo:hi]).astype(np.uint64)
+        x32 = (x >> np.uint64(32)) ^ (x & np.uint64(0xFFFFFFFF))
+        # (chunk_S, m) in uint64: max (2^31)(2^32)+2^31 < 2^63;
+        # in-place ops — one live matrix, no temporaries
+        y = x32[:, None] * a[None, :]
+        y += b[None, :]
+        # branchless Mersenne-61 reduction: for y < 2^63,
+        # (y & p) + (y >> 61) < p + 4, one conditional subtract
+        # finishes — identical to y % p without the hardware
+        # division (the measured hot op of this stage)
+        hi_bits = y >> shift
+        y &= p
+        y += hi_bits
+        np.subtract(y, p, out=y, where=y >= p)
+        starts = np.concatenate([[0], np.cumsum(lens[lo:hi])[:-1]])
+        sig_out[lo:hi] = np.minimum.reduceat(y, starts, axis=0)
+        lo = hi
+    return sig_out
+
+
+def minhash_signatures_from_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 9,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Fused text -> MinHash signature in ONE Arrow pass: shingle
+    hashes stay numpy-local inside the worker instead of round-tripping
+    a corpus-sized ARRAY<BIGINT> column through the serializer and the
+    block cache (the measured dominant cost of the two-stage
+    shingle_df -> minhash_signatures path: the shingle column is
+    ~8 bytes x corpus characters, 10-30x the signature column)."""
+    a, b = _minhash_params(num_hashes, seed)
+    df = _spread(df)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"doc_id": pdf[id_col], "signature": []})
+                continue
+            arrs = [_shingle_hashes(t, k) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "signature": list(_min_sig(arrs, a, b, num_hashes)),
+                }
+            )
+
+    return df.mapInPandas(gen, "doc_id BIGINT, signature ARRAY<BIGINT>")
 
 
 def _cap_buckets(
@@ -272,16 +316,29 @@ def minhash_lsh_pairs(
     rows it removed). Pathological exact-duplicate floods belong to
     ``dedup_exact``, which runs in one shuffle.
 
-    ``materialize`` forces the shared shingle cache with one cheap
-    count job up front: the signature path and BOTH verify joins read
-    it, and parallel query stages racing an unmaterialized cache each
-    recompute the Python shingling (measured ~2x end-to-end at sf0.1).
+    Cost shape (round-4 rework): signatures are computed FUSED from
+    text (one Arrow pass, no corpus-wide shingle-array column through
+    the serializer or the block cache), and the verify arrays are
+    rehydrated ONLY for documents that appear in a candidate pair —
+    at web scale the candidate set is orders of magnitude smaller
+    than the corpus, so the expensive ARRAY<BIGINT> materialization
+    is proportional to candidates, not documents. A document in many
+    candidate pairs still shingles once (the rehydrate is keyed by
+    distinct doc id and cached).
+
+    ``materialize`` caches + materializes the (id, text) projection,
+    which both the signature pass and the verify rehydrate read;
+    parallel query stages racing an unmaterialized cache would each
+    recompute the upstream plan (measured ~2x end-to-end at sf0.1).
     """
     rows_per_band = num_hashes // bands
-    sh = shingle_df(df, text_col, id_col, k).cache()
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_mh_text"))
+    docs = docs.cache()
     if materialize:
-        sh.count()
-    sig = minhash_signatures(sh, num_hashes, seed)
+        docs.count()
+    sig = minhash_signatures_from_text(
+        docs, "_mh_text", "doc_id", k, num_hashes, seed
+    )
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -309,6 +366,22 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    # cands feeds BOTH the id-rehydrate semi-join and the final verify
+    # join — cache (and materialize) it or the whole signature +
+    # banding + self-join pipeline executes twice
+    cands = cands.cache()
+    if materialize:
+        cands.count()
+    # rehydrate shingle arrays for candidate docs ONLY (semi-join on
+    # the distinct ids in any pair), then verify JVM-side
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_df(
+        docs.join(cand_ids, "doc_id", "left_semi"), "_mh_text", "doc_id", k
+    ).cache()
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     n_union = F.size("sh_a") + F.size("sh_b") - n_common
     verified = (
