@@ -294,9 +294,24 @@ def main():
     # steal (~0.1-0.2 s/s) that an absolute cutoff would flag forever.
     steal_rate_max = float(os.environ.get("SPARK_GRAFT_STEAL_RATE_MAX", "0.5"))
     max_trials = max(trials, int(os.environ.get("SPARK_GRAFT_MAX_TRIALS", "5")))
-    while len(runs) < trials or (
-        len(runs) < max_trials and min(runs)[2] / max(min(runs)[0], 1e-9) > steal_rate_max
-    ):
+    # capacity retry: a shared-bandwidth contention wave inflates CPU
+    # 4-5x while passing the steal gate AND the compute-bound capacity
+    # probe (measured 2026-08-17: 969 vs 201.6 geo CPU-s, byte-identical
+    # code, both "steal-clean", probes 0.092-0.096). Steal cannot see
+    # it; absolute CPU per page can — clean runs measure ~12-15 ms/page
+    # across sf0.001-0.1, contaminated ones 60+. Retry (same bounded
+    # trial budget) while the best trial is above the budget, and flag
+    # the result so a budget-busting record is never ambiguous.
+    cpu_ms_per_page_max = float(
+        os.environ.get("SPARK_GRAFT_GEO_CPU_MS_PER_PAGE_MAX", "30")
+    )
+    cpu_budget_sec = n_pages * cpu_ms_per_page_max / 1000.0
+
+    def _best_is_polluted() -> bool:
+        wall, cpu, steal, _ = min(runs)
+        return steal / max(wall, 1e-9) > steal_rate_max or cpu > cpu_budget_sec
+
+    while len(runs) < trials or (len(runs) < max_trials and _best_is_polluted()):
         probe = _capacity_probe()
         c0, s0 = _tree_cpu_seconds(), _steal_seconds()
         _, dt = _time(lambda: geo_pipeline(pages))
@@ -368,6 +383,8 @@ def main():
         ],
         "capacity_probe_sec": round(probe_geo, 4),
         "geo_clean": steal_geo / max(t_geo, 1e-9) <= steal_rate_max,
+        "geo_capacity_clean": cpu_geo <= cpu_budget_sec,
+        "geo_cpu_budget_sec": round(cpu_budget_sec, 1),
         "capacity_probe_suite": round(probe_suite_before, 4),
         "capacity_probe_end": round(_capacity_probe(), 4),
         "legs": legs,
