@@ -453,6 +453,37 @@ def _q_seq_packing(spark, sf_dir):
     )
 
 
+def _q_pii_redaction(spark, sf_dir):
+    # PII scrubbing over planted synthetic identifiers (the corpus has
+    # none): per-doc email, a constant dashed phone, a per-doc IPv4.
+    # The patterns use only dialect-identical regex constructs (see
+    # text.PII_PATTERNS); the oracle replays the same replacement
+    # chain with RE2 and must land on the same md5 of the redacted
+    # text. ASCII precondition as in the other text oracles.
+    from osmptparser_spark.functions.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.octet_length("text") == F.length("text"))
+    )
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-123-4567 from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    red = redact_pii(F.col("text"))
+    return planted.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("n_chars_redacted"),
+    )
+
+
 def _q_text_repetition(spark, sf_dir):
     # Gopher-style repetition signals; literal single-space split on
     # both sides (no regex dialect), fixed-point x1e4 integer division
@@ -1111,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "seq_packing": _q_seq_packing,
         "text_repetition": _q_text_repetition,
+        "pii_redaction": _q_pii_redaction,
         "vocab_topk": _q_vocab_topk,
         "corpus_sample": _q_corpus_sample,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -1604,6 +1636,32 @@ def _oracle_sql_computed() -> dict[str, str]:
                         THEN (coalesce(m, 0) * 10000) // (n - 1)
                         ELSE 0 END AS top_bigram_frac_x1e4
             FROM base b LEFT JOIN bm USING (doc_id)
+        """,
+        "pii_redaction": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com call 555-123-4567 from 10.0.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) || ' end' AS text
+                FROM documents
+                WHERE doc_id < 200 AND strlen(text) = length(text)
+            ), red AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                                   '<EMAIL>', 'g'),
+                               '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}',
+                               '<PHONE>', 'g'),
+                           '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+                           '<IP>', 'g') AS t
+                FROM planted
+            )
+            SELECT doc_id, md5(t) AS redacted_md5,
+                   CAST(length(t) AS BIGINT) AS n_chars_redacted
+            FROM red
         """,
         "vocab_topk": """
             SELECT token, count(*) AS n

@@ -227,3 +227,27 @@ def vocab_topk(
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(k)
     )
+
+
+# PII patterns shared verbatim with the DuckDB oracle: only constructs
+# with identical semantics in Java regex and RE2 (character classes,
+# counted quantifiers, groups — no lookaround, no \b, no \s shorthand,
+# which differ across dialects).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, dashed/dotted phone numbers, and IPv4 literals
+    with typed placeholder tokens. Order matters and is part of the
+    contract: emails first (an email's domain would otherwise feed the
+    IP rule a false prefix), phones before IPs (a dotted phone is not
+    three octets). Pure Catalyst ``regexp_replace`` chain — runs in
+    whole-stage codegen, no Python."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -119,3 +119,25 @@ def test_corpus_sample_composition(spark):
             per_src[s] += 1
             expect[i] = (s, per_src[s])
     assert kept == expect
+
+
+def test_redact_pii(spark):
+    from osmptparser_spark.functions.text import redact_pii
+
+    cases = {
+        1: ("contact john.doe+x@mail.example.org now", "contact <EMAIL> now"),
+        2: ("call 555-123-4567 or 555.987.6543", "call <PHONE> or <PHONE>"),
+        3: ("host 192.168.0.1 port 80", "host <IP> port 80"),
+        # email domain must NOT leak into the IP rule; dotted phone is
+        # not octets
+        4: ("a@b.co 1.2.3.4 111.222.3333", "<EMAIL> <IP> <PHONE>"),
+        5: ("no pii here at all", "no pii here at all"),
+    }
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(k, orig) for k, (orig, _) in cases.items()], 2
+        ),
+        "doc_id BIGINT, text STRING",
+    ).select("doc_id", redact_pii(F.col("text")).alias("red"))
+    got = {r["doc_id"]: r["red"] for r in df.collect()}
+    assert got == {k: v[1] for k, v in cases.items()}
