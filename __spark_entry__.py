@@ -856,9 +856,9 @@ def _q_w6_pip(spark, sf_dir):
     )
     from osmptparser_spark.session import local_df
 
-    # local_df(slices=1), not bare createDataFrame: the cells plan scans
-    # the polygon side twice per action (cover mapInPandas + ring
-    # re-attach), and a defaultParallelism-sliced 2-row table pays 64
+    # local_df(slices=1), not bare createDataFrame: the cells plan reads
+    # the polygon side twice per action (cover mapInPandas + the cogroup
+    # ring side), and a defaultParallelism-sliced 2-row table pays 64
     # Python task dispatches per run — the bench leg's dominant cost
     # under host contention.
     polys = local_df(
@@ -1117,6 +1117,58 @@ def _q_w9_lineage(spark, sf_dir):
     )
 
 
+def _q_h3_compat(spark, sf_dir):
+    # Uber-H3 compatibility adapter (round 5): the LAYOUT half of true
+    # H3 — field packing, digit-slot semantics, parent truncation —
+    # exercised through the real h3compat code path (pandas UDF over
+    # published cell ids), recomputed independently by the oracle with
+    # raw SQL bit arithmetic. The encode half needs the public constant
+    # tables (data, not algorithm — see h3compat module docstring) and
+    # is pinned by the synthetic-face geometry tests in pytest.
+    import pandas as _pd
+
+    from osmptparser_spark.functions import h3compat as hc
+    from osmptparser_spark.session import local_df
+
+    published = [
+        ("8928308280fffff", 9),  # latLngToCell(37.7752..., -122.4183..., 9)
+        ("85283473fffffff", 5),  # docs example, res 5
+    ]
+    rows = [
+        (hc.string_to_cell(s), pr)
+        for s, res in published
+        for pr in range(res + 1)
+    ]
+    base_df = local_df(spark, rows, "cell BIGINT, parent_res INT")
+
+    def gen(batches):
+        for pdf in batches:
+            parents = [
+                hc.cell_to_parent(int(c), int(pr))
+                for c, pr in zip(pdf["cell"], pdf["parent_res"])
+            ]
+            unpacked = [hc.unpack_cell(p) for p in parents]
+            yield _pd.DataFrame(
+                {
+                    "cell": pdf["cell"].astype("int64"),
+                    "parent_res": pdf["parent_res"].astype("int64"),
+                    "parent": _pd.Series(parents, dtype="int64"),
+                    "base_cell": _pd.Series(
+                        [u[0] for u in unpacked], dtype="int64"
+                    ),
+                    "digit_sum": _pd.Series(
+                        [sum(u[2]) for u in unpacked], dtype="int64"
+                    ),
+                }
+            )
+
+    return base_df.mapInPandas(
+        gen,
+        "cell BIGINT, parent_res BIGINT, parent BIGINT, "
+        "base_cell BIGINT, digit_sum BIGINT",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_tag_filter": _q_f1_tag_filter,
@@ -1164,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "interval_join": _q_interval_join,
         "x5_preset_filter": _q_x5_preset_filter,
+        "h3_compat": _q_h3_compat,
     }
 
 
@@ -1332,6 +1385,36 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_computed() -> dict[str, str]:
     return {
+        # Uber-H3 layout adapter: the Spark side runs the real
+        # h3compat.cell_to_parent/unpack_cell python path; the oracle
+        # re-derives parent truncation, base-cell field, and digit sums
+        # with raw bit arithmetic — an independent formulation of the
+        # published 64-bit H3 index layout.
+        "h3_compat": """
+            WITH ids(cell, res) AS (
+                VALUES (CAST(617700169958293503 AS BIGINT), 9),
+                       (CAST(599686042433355775 AS BIGINT), 5)
+            ),
+            expanded AS (
+                SELECT cell, UNNEST(range(0, res + 1)) AS parent_res
+                FROM ids
+            ),
+            p AS (
+                SELECT cell, parent_res,
+                       ((cell - (((cell >> 52) & 15) << 52))
+                        + (CAST(parent_res AS BIGINT) << 52))
+                       | ((CAST(1 AS BIGINT) << ((15 - parent_res) * 3)) - 1)
+                       AS parent
+                FROM expanded
+            )
+            SELECT cell, parent_res, parent,
+                   (parent >> 45) & 127 AS base_cell,
+                   CAST(COALESCE(list_sum(
+                       [ (parent >> ((15 - r) * 3)) & 7
+                         for r in range(1, parent_res + 1) ]), 0) AS BIGINT)
+                   AS digit_sum
+            FROM p
+        """,
         "f1_tag_filter": """
             SELECT event_id, event_type,
                    json_extract_string(props, '$.k') AS k_val

@@ -52,6 +52,13 @@ BENCH_QUERIES = [
     "emb_cosine_topk",
     "asof_join",
     "interval_join",
+    # round-4 LLM-pipeline operators, metered since round 5 (VERDICT r4 #6)
+    "dedup_clusters",
+    "seq_packing",
+    "corpus_sample",
+    "text_repetition",
+    "pii_redaction",
+    "vocab_topk",
 ]
 
 
@@ -361,7 +368,13 @@ def main():
         timings["simhash_full"] = legs["simhash_full"]["wall"]
 
     pages_per_sec = n_pages / t_geo if t_geo > 0 else 0.0
-    result = {
+    # Round-5 output contract (VERDICT r4 #1): the driver captures only
+    # the last ~2,000 chars of stdout, so the FINAL line must be a
+    # compact summary that always parses — headline value, per-query
+    # wall seconds, and the names of any non-clean legs. The full
+    # per-attempt {wall, cpu, steal} metering, geo trials, and capacity
+    # probes go to a sidecar JSON file next to this script.
+    detail = {
         "metric": "pages/sec spatial-join+tiling (extract->stitch->tile->kNN)",
         "value": round(pages_per_sec, 2),
         "unit": "sec",
@@ -389,7 +402,45 @@ def main():
         "capacity_probe_end": round(_capacity_probe(), 4),
         "legs": legs,
     }
-    print(json.dumps(result))
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_detail.json"),
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the summary line still carries the result
+    summary = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "pages": n_pages,
+        "routes": N_ROUTES,
+        "cpus": CPUS,
+        "geo_cpu_sec": detail["geo_cpu_sec"],
+        "geo_steal_sec": detail["geo_steal_sec"],
+        "geo_clean": detail["geo_clean"],
+        "geo_capacity_clean": detail["geo_capacity_clean"],
+        # suite legs that never produced a steal-clean attempt, by name
+        # (empty = every recorded number is clean; details in sidecar)
+        "dirty_legs": sorted(
+            k for k, v in legs.items() if not v.get("clean")
+        ),
+        "detail": os.path.basename(detail_path),
+    }
+    line = json.dumps(summary)
+    if len(line) > 1900:  # hard driver-tail guard: drop to bare headline
+        line = json.dumps({
+            "metric": detail["metric"], "value": detail["value"],
+            "unit": "sec", "sf": SF, "pages": n_pages,
+            "geo_clean": detail["geo_clean"],
+            "detail": os.path.basename(detail_path),
+        })
+    print(line)
     return 0
 
 

@@ -11,7 +11,11 @@ is 7. Digit extraction is exact integer arithmetic: the digit set
 followed by exact /7.
 
 Documented divergences from Uber's H3 (which cannot be calibrated
-against in this sandbox — no h3 wheel resolves):
+against in this sandbox — no h3 wheel resolves; see ``h3compat`` for
+the round-5 compatibility adapter: exact H3 bit layout + the full
+published encode algorithm with the base-cell constant TABLES as
+pluggable user-supplied data, since the 122-cell numbering is an
+enumeration choice, not derivable from the spec):
 * base-cell numbering is (face, local axial coord) rather than H3's
   122-cell table; ids are NOT bit-identical to h3's;
 * no pentagon special-casing: each point is assigned the face whose

@@ -100,7 +100,9 @@ def connected_components(
     """
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     prev = None  # (n_edges, edge-set hash) of the canonical edge set
+    prev_df = None  # previous round's checkpointed edge set
     for _ in range(max_iterations):
+        prev_df = e
         e = _canon(_small_star(_large_star(e)))
         e = _truncate(e)
         # top-31-bits of xxhash64: summing full-range longs overflows
@@ -110,8 +112,15 @@ def connected_components(
             F.count(F.lit(1)),
             F.sum(F.shiftrightunsigned(F.xxhash64("u", "v"), 33)),
         ).first()
-        if (n, h) == prev:
-            break
+        # The fingerprint is only a fast PRE-check: a collision between
+        # successive non-equal edge sets would otherwise terminate early
+        # and silently return wrong clusters. Confirm exactly before
+        # stopping — both sides are checkpointed distinct sets with
+        # equal counts here, so one-sided exceptAll ⇒ set equality, at
+        # one extra shuffle ONLY on the final (convergence) round.
+        if (n, h) == prev and prev_df is not None:
+            if prev_df.exceptAll(e).isEmpty():
+                break
         prev = (n, h)
     else:
         raise RuntimeError(

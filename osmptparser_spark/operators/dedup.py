@@ -122,7 +122,12 @@ def _spread(df: DataFrame) -> DataFrame:
     input arrives in fewer partitions (a small parquet file reads as
     ONE split, which would run every downstream python stage on one
     core). At real scale the input has >= cores splits and this is a
-    no-op — no shuffle is added."""
+    no-op — no shuffle is added.
+
+    Only call this on scan-rooted inputs: ``.rdd`` under AQE forces
+    ``getFinalPhysicalPlan``, which EXECUTES every shuffle stage of a
+    composite plan just to read a partition count (callers with joins
+    upstream pass ``spread=False`` instead)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -130,10 +135,19 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def shingle_df(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 9
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 9,
+    spread: bool = True,
 ) -> DataFrame:
-    """id -> array of distinct shingle hashes (mapInPandas, Arrow batches)."""
-    df = _spread(df)
+    """id -> array of distinct shingle hashes (mapInPandas, Arrow batches).
+
+    ``spread=False`` skips the small-input repartition probe — required
+    when ``df`` is not scan-rooted (see ``_spread``: the probe's
+    ``.rdd`` would eagerly execute the upstream joins under AQE)."""
+    if spread:
+        df = _spread(df)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -196,6 +210,22 @@ def _min_sig(arrs, a: np.ndarray, b: np.ndarray, num_hashes: int) -> np.ndarray:
     p = np.uint64(_MERSENNE)
     lens = np.fromiter((len(s) for s in arrs), dtype=np.int64, count=len(arrs))
     sig_out = np.empty((len(arrs), num_hashes), dtype=np.int64)
+    # Empty shingle sets get the reduction identity (min over nothing =
+    # p, the Mersenne modulus: strictly above every real hash value).
+    # Without this, a zero-length segment makes minimum.reduceat
+    # silently return the NEXT doc's first hash row as this doc's
+    # signature (numpy reduceat semantics), or raise at chunk end —
+    # unreachable via _shingle_hashes (always >= 1 hash) but
+    # minhash_signatures is public API over arbitrary shingle arrays.
+    empty = lens == 0
+    if empty.any():
+        sig_out[empty] = np.int64(_MERSENNE)
+        keep = np.flatnonzero(~empty)
+        if len(keep) == 0:
+            return sig_out
+        sub = _min_sig([arrs[i] for i in keep], a, b, num_hashes)
+        sig_out[keep] = sub
+        return sig_out
     CHUNK_S = 4096
     shift = np.uint64(61)
     lo = 0
@@ -379,8 +409,11 @@ def minhash_lsh_pairs(
         .union(cands.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
+    # spread=False: the input is join-rooted, and the partition-count
+    # probe would execute the semi-join once just to read a number
     sh = shingle_df(
-        docs.join(cand_ids, "doc_id", "left_semi"), "_mh_text", "doc_id", k
+        docs.join(cand_ids, "doc_id", "left_semi"), "_mh_text", "doc_id", k,
+        spread=False,
     ).cache()
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     n_union = F.size("sh_a") + F.size("sh_b") - n_common

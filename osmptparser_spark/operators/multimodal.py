@@ -2,12 +2,13 @@
 
 Images/audio/video ride as ``binary`` columns with struct metadata; all
 transforms run as ``mapInPandas`` over Arrow batches so payload bytes
-never round-trip through Python row objects. The actual codec work
-(JPEG decode, resample, frame extraction) is STUBBED — the sandbox has
-no imaging/audio libraries — behind ``decoder=`` hooks with a
-deterministic fake implementation, so the Spark-side plumbing (schemas,
-batch shapes, partitioning) is real and tested while the codec is a
-drop-in replacement.
+never round-trip through Python row objects. Codecs plug in via the
+``decoder=`` hook: ``functions.png.png_decode`` is a REAL pure-python
+PNG decode (stdlib zlib + numpy unfiltering — round 5 de-stubbed the
+image path); ``fake_decode`` stays as the deterministic, DuckDB-
+recomputable oracle path; JPEG/audio/video codecs remain environment-
+blocked (no libjpeg/ffmpeg wheels) and raise loudly via
+``real_decode_stub``.
 """
 
 from __future__ import annotations
@@ -32,11 +33,17 @@ IMAGE_FEATURES_DDL = (
 
 
 def real_decode_stub(payload: bytes):
-    """Placeholder for a real image decode (PIL/libjpeg not available
-    in this environment)."""
-    raise NotImplementedError(
-        "image codec not available in this environment; pass "
-        "decoder=fake_decode or install a codec and wrap it"
+    """Real-image decode dispatch: PNG is fully supported in pure
+    python (``functions.png``); other formats need codec wheels this
+    environment lacks and fail loudly."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png import png_decode
+
+        return png_decode(payload)
+    raise ValueError(
+        "only PNG has a built-in pure-python decode; JPEG/audio/video "
+        "codecs are not available in this environment — pass "
+        "decoder=fake_decode or wrap an installed codec"
     )
 
 

@@ -61,7 +61,11 @@ def pack_sequences(
     token count of ``text_col`` (the engine's ``token_count_ws``
     semantics), floored at 1 per document.
     ``shard``: either a Column expression or an int N meaning
-    ``id %% N``. Packing never crosses a shard boundary.
+    ``id %% N``. Packing never crosses a shard boundary. Shard values
+    must lie in ``[0, 2^31)``: pack_id composes ``shard * 2^32 +
+    local_pack`` in int64, so a wider shard (e.g. a raw xxhash64)
+    would wrap and collide — pmod hash-based shards into a bounded
+    domain first. Enforced per group (loud ValueError, no extra job).
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
@@ -83,6 +87,14 @@ def pack_sequences(
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["shard"].iloc[0])  # one group = one shard value
+        if not (0 <= s < 1 << 31):
+            raise ValueError(
+                f"pack_sequences: shard value {s} outside [0, 2^31) — "
+                "pack_id = shard * 2^32 + local_pack would wrap int64 "
+                "and collide; pmod the shard expression into a bounded "
+                "domain"
+            )
         pdf = pdf.sort_values("doc_id", kind="mergesort", ignore_index=True)
         toks = pdf["n_tokens"].to_numpy()
         packs = [0] * len(toks)

@@ -417,11 +417,18 @@ def point_in_polygon_join(
       (admin areas), and the plan Catalyst cannot pick by itself
       because the predicate is a range, not an equality.
 
-    Refine: numpy ray casting inside applyInPandas over (poly, salt)
-    groups. The ray cast is per-point, so salting the candidate set is
-    result-neutral — without it a country-sized polygon with 10^9
-    candidate points is ONE straggler task holding one pandas frame;
-    with it the hot polygon spreads over ``salt`` tasks.
+    Refine: numpy ray casting over (poly, salt) COGROUPS (round-5
+    rework): the candidate side shuffles bare (point, poly, salt) rows
+    — never the ring — and each group receives its ring exactly once
+    from a tiny (n_polys x salt)-row side that carries the only ring
+    bytes in the whole refine. The previous design attached the ring to
+    every candidate row (ring bytes x candidates through the refine
+    shuffle, plus an AQE broadcast re-attach join and a second Python-
+    visible polygon pass per action — the w6 bench leg's stage-latency
+    floor). The ray cast is per-point, so salting is result-neutral —
+    without it a country-sized polygon with 10^9 candidate points is
+    ONE straggler task holding one pandas frame; with it the hot
+    polygon spreads over ``salt`` tasks.
     """
     bbox_cols = [
         F.array_min(F.transform("ring", lambda p: p["lat"])).alias("_lat_min"),
@@ -443,7 +450,7 @@ def point_in_polygon_join(
     if strategy == "broadcast":
         polys = polygons.select(poly_id, "ring", *bbox_cols)
         cands = pts.join(F.broadcast(polys), in_bbox).select(
-            "point_id", "p_lat", "p_lon", poly_id, "ring"
+            "point_id", "p_lat", "p_lon", poly_id
         )
     elif strategy == "cells":
         from ..functions.tiling import polygon_cover_cells_batch
@@ -491,9 +498,7 @@ def point_in_polygon_join(
             _with_cell(pts, res, "p_lat", "p_lon", "_cell")
             .join(cover, "_cell")
             .filter(in_bbox)
-            # re-attach rings by key (equi-join; AQE broadcasts if small)
-            .join(polygons.select(poly_id, "ring"), poly_id)
-            .select("point_id", "p_lat", "p_lon", poly_id, "ring")
+            .select("point_id", "p_lat", "p_lon", poly_id)
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -501,18 +506,45 @@ def point_in_polygon_join(
     cands = cands.withColumn(
         "_salt", F.pmod(F.xxhash64("point_id"), F.lit(salt))
     )
+    # ring side of the cogroup: one row per (poly, salt) — the ONLY
+    # ring bytes in the refine, independent of candidate count. Columns
+    # renamed (fresh attributes): both cogroup sides descend from
+    # ``polygons`` and identical expression ids would trip the
+    # ambiguous-self-join analyzer check.
+    rings = polygons.select(
+        F.col(poly_id).alias("_r_poly"), F.col("ring").alias("_r_ring")
+    ).withColumn(
+        "_r_salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))
+        ),
+    )
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pdf.iloc[0:0][["point_id", poly_id]]
-        ring = pdf["ring"].iloc[0]
+    def refine(cand_pdf: pd.DataFrame, ring_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "point_id": pd.Series(dtype="int64"),
+                    poly_id: pd.Series(dtype="int64"),
+                }
+            )
+        if len(ring_pdf) == 0:  # cover emitted a poly the ring side lacks
+            raise ValueError(
+                "point_in_polygon_join: candidate group without its ring "
+                "(polygons changed between the cover pass and the refine?)"
+            )
+        ring = ring_pdf["_r_ring"].iloc[0]
         rx = np.array([p["lon"] for p in ring])
         ry = np.array([p["lat"] for p in ring])
-        inside = _ray_cast(pdf["p_lon"].to_numpy(), pdf["p_lat"].to_numpy(), rx, ry)
-        return pdf.loc[inside, ["point_id", poly_id]]
+        inside = _ray_cast(
+            cand_pdf["p_lon"].to_numpy(), cand_pdf["p_lat"].to_numpy(), rx, ry
+        )
+        return cand_pdf.loc[inside, ["point_id", poly_id]]
 
-    return cands.groupBy(poly_id, "_salt").applyInPandas(
-        refine, f"point_id BIGINT, {poly_id} BIGINT"
+    return (
+        cands.groupBy(poly_id, "_salt")
+        .cogroup(rings.groupBy("_r_poly", "_r_salt"))
+        .applyInPandas(refine, f"point_id BIGINT, {poly_id} BIGINT")
     )
 
 

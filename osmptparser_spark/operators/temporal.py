@@ -30,6 +30,7 @@ def interval_join(
     end: str = "t_end",
     bucket_width: int | None = None,
     max_explode_buckets: int = 256,
+    max_broadcast_outliers: int = 100_000,
 ) -> DataFrame:
     """Range join: every (point, interval) pair with ``start <= t <
     end`` — the 1-D twin of the spatial cell join. Catalyst would plan
@@ -43,16 +44,27 @@ def interval_join(
     interval length (one tiny job); pass it explicitly in production
     pipelines.
 
-    Outliers: an interval spanning more than ``max_explode_buckets``
-    grid cells (a year-long interval among second-scale ones) does NOT
-    explode into length/width rows — such rows split to a small
-    broadcast theta path instead, so the explode side is bounded at
-    ``max_explode_buckets`` rows per interval no matter the length
-    distribution. Empty or reversed intervals (``end <= start``) can
-    match no point and are dropped up front — without the guard a
-    single reversed row would generate a huge DESCENDING bucket
-    sequence (F.sequence auto-steps -1) that the residual filter then
-    throws away.
+    Long intervals (round-5 rework — the single coarse tier used to
+    broadcast UNGUARDED, an OOM with a heavy-tailed length
+    distribution): the grid is two-level. An interval spanning more
+    than ``max_explode_buckets`` fine cells explodes on a COARSE grid
+    (``bucket_width * max_explode_buckets`` wide) instead — still at
+    most ``max_explode_buckets`` rows per interval, still a shuffle
+    equi-join, so a corpus where MOST intervals are "outliers" stays
+    a bounded explode, never a broadcast. Only intervals spanning more
+    than ``max_explode_buckets**2`` fine cells (for 1-s buckets at the
+    default 256: >18 h among second-scale intervals) fall through to
+    the broadcast theta path, and that side is now counted and raises
+    past ``max_broadcast_outliers`` rather than silently building an
+    unbounded broadcast + O(points x outliers) BNLJ. Such rows each
+    overlap >= max_explode_buckets**2 grid cells of time, so the
+    join OUTPUT is enormous long before the guard fires — the raise
+    tells the caller to rethink the query, not merely the plan.
+
+    Empty or reversed intervals (``end <= start``) can match no point
+    and are dropped up front — without the guard a single reversed row
+    would generate a huge DESCENDING bucket sequence (F.sequence
+    auto-steps -1) that the residual filter then throws away.
     """
     if bucket_width is None:
         med = (
@@ -62,21 +74,73 @@ def interval_join(
         )
         bucket_width = max(int(med or 1), 1)
     iv_all = intervals.filter(F.col(end) > F.col(start))
-    first_b = F.floor(F.col(start) / F.lit(bucket_width)).cast("long")
-    last_b = F.floor((F.col(end) - 1) / F.lit(bucket_width)).cast("long")
-    is_outlier = (last_b - first_b) >= F.lit(max_explode_buckets)
     residual = (F.col(start) <= F.col(on)) & (F.col(on) < F.col(end))
 
-    p = points.withColumn(
-        "_bucket", F.floor(F.col(on) / F.lit(bucket_width)).cast("long")
-    )
-    iv = iv_all.filter(~is_outlier).withColumn(
-        "_bucket", F.explode(F.sequence(first_b, last_b))
-    )
-    grid = p.join(iv, "_bucket").filter(residual).drop("_bucket")
-    outliers = iv_all.filter(is_outlier)
-    theta = points.join(F.broadcast(outliers), residual)
-    return grid.unionByName(theta)
+    def _grid_leg(width: int, lo_span, hi_span) -> DataFrame:
+        """Equi-join leg on a grid of ``width``: intervals whose fine-
+        cell span is in [lo_span, hi_span) explode here."""
+        first_b = F.floor(F.col(start) / F.lit(width)).cast("long")
+        last_b = F.floor((F.col(end) - 1) / F.lit(width)).cast("long")
+        span = _span_fine(start, end, bucket_width)
+        sel = span >= F.lit(lo_span)
+        if hi_span is not None:
+            sel = sel & (span < F.lit(hi_span))
+        p = points.withColumn(
+            "_bucket", F.floor(F.col(on) / F.lit(width)).cast("long")
+        )
+        iv = iv_all.filter(sel).withColumn(
+            "_bucket", F.explode(F.sequence(first_b, last_b))
+        )
+        return p.join(iv, "_bucket").filter(residual).drop("_bucket")
+
+    # One tiny driver job sizes the tiers, so the COMMON case (every
+    # interval fits the fine grid) keeps the single-join plan and the
+    # huge-interval broadcast is provably bounded before it is built.
+    huge_span = max_explode_buckets * max_explode_buckets
+    span = _span_fine(start, end, bucket_width)
+    n_coarse, n_huge = iv_all.agg(
+        F.sum(
+            F.when(
+                (span >= max_explode_buckets) & (span < huge_span), 1
+            ).otherwise(0)
+        ),
+        F.sum(F.when(span >= huge_span, 1).otherwise(0)),
+    ).first()
+    legs = [_grid_leg(bucket_width, 0, max_explode_buckets)]
+    if n_coarse:
+        legs.append(
+            _grid_leg(
+                bucket_width * max_explode_buckets,
+                max_explode_buckets,
+                huge_span,
+            )
+        )
+    if n_huge:
+        if n_huge > max_broadcast_outliers:
+            raise ValueError(
+                f"interval_join: {n_huge} intervals span >= {huge_span} "
+                f"grid cells (bucket_width={bucket_width}), more than "
+                f"max_broadcast_outliers={max_broadcast_outliers} — the "
+                "broadcast outlier path would be unbounded. Raise "
+                "bucket_width (or max_explode_buckets) so the length "
+                "distribution fits the grid, or pre-split the giant "
+                "intervals."
+            )
+        huge = iv_all.filter(span >= F.lit(huge_span))
+        legs.append(points.join(F.broadcast(huge), residual))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _span_fine(start: str, end: str, bucket_width: int):
+    """Interval span measured in FINE grid cells (selector used by all
+    three interval_join tiers — must be identical across them so every
+    interval lands in exactly one leg)."""
+    first_b = F.floor(F.col(start) / F.lit(bucket_width)).cast("long")
+    last_b = F.floor((F.col(end) - 1) / F.lit(bucket_width)).cast("long")
+    return last_b - first_b
 
 
 def asof_join(

@@ -116,11 +116,19 @@ class TestMultimodal:
             (r.media_id, tuple(r.features)) for r in feats
         )
 
-    def test_real_decoder_stub_raises(self, spark):
+    def test_real_decoder_dispatch(self, spark):
+        # round 5: PNG decodes for real (pure python); non-PNG formats
+        # still fail loudly (no codec wheels in this environment)
+        import numpy as np
+
+        from osmptparser_spark.functions.png import encode_png
         from osmptparser_spark.operators.multimodal import real_decode_stub
 
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="PNG"):
             real_decode_stub(b"\xff\xd8\xff")
+        img = np.full((4, 4), 9, dtype=np.uint8)
+        h, w, arr = real_decode_stub(encode_png(img))
+        assert (h, w) == (4, 4) and float(arr.mean()) == 9.0
 
     def test_frame_sample(self, spark):
         from osmptparser_spark.operators.multimodal import frame_sample, synthesize_media
