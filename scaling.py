@@ -77,7 +77,15 @@ def run_bench(
     if trials is not None:
         env["SPARK_GRAFT_GEO_TRIALS"] = str(trials)
         env["SPARK_GRAFT_MAX_TRIALS"] = str(trials)
-    env.setdefault("SPARK_GRAFT_GEO_TRIALS", "3")
+    # 2 in-JVM trials + at most 1 pollution retry per invocation
+    # (round-5 retune): the contention waves arrive minutes apart, so a
+    # 3-trial nominal-450 s invocation straddles one and times out —
+    # round 4 lost four sessions that way and round 5's first attempt
+    # timed out the same way with a GO preflight 4 minutes earlier.
+    # Shorter invocations fit between waves; cross-invocation retries
+    # (run_leg) provide the extra samples instead.
+    env.setdefault("SPARK_GRAFT_GEO_TRIALS", "2")
+    env.setdefault("SPARK_GRAFT_MAX_TRIALS", "3")
     # capacity budget for the scaling legs: clean sessions measure
     # 0.85-1.6 ms CPU/page at 202k pages across 2-32 cores; the
     # documented steal-blind contention waves inflate that 3-5x. The
@@ -85,7 +93,7 @@ def run_bench(
     # a degraded 202k-page leg.
     env.setdefault("SPARK_GRAFT_GEO_CPU_MS_PER_PAGE_MAX", "3.0")
     timeout = timeout_s if timeout_s is not None else float(
-        os.environ.get("SPARK_GRAFT_LEG_TIMEOUT", "900")
+        os.environ.get("SPARK_GRAFT_LEG_TIMEOUT", "1200")
     )
     cmd = [sys.executable, os.path.join(HERE, "bench.py")]
     if pin:
@@ -119,7 +127,7 @@ def run_leg(cpus: int, routes: int, max_load: float, steal_rate_max: float,
     steal per wall second. The returned dict always carries
     ``steal_clean``: False means every attempt was polluted and the
     fastest polluted attempt is returned, EXPLICITLY marked."""
-    retries = int(os.environ.get("SPARK_GRAFT_LEG_RETRIES", retries))
+    retries = int(os.environ.get("SPARK_GRAFT_LEG_RETRIES", retries + 1))
     best = None
     for attempt in range(retries + 1):
         wait_for_quiet(max_load)
@@ -129,7 +137,9 @@ def run_leg(cpus: int, routes: int, max_load: float, steal_rate_max: float,
         print(
             f"[scaling] cpus={cpus} attempt={attempt} "
             f"wall={r['queries']['geo_pipeline_pages']}s "
-            f"steal={r.get('geo_steal_sec')}s rate={_rate(r):.2f}",
+            f"steal={r.get('geo_steal_sec')}s rate={_rate(r):.2f} "
+            f"cpu={r.get('geo_cpu_sec')}s "
+            f"capacity_clean={r.get('geo_capacity_clean')}",
             file=sys.stderr, flush=True,
         )
         if best is None or (
@@ -137,7 +147,10 @@ def run_leg(cpus: int, routes: int, max_load: float, steal_rate_max: float,
             < best["queries"]["geo_pipeline_pages"]
         ):
             best = r
-        if _rate(r) <= steal_rate_max:
+        # accept only FULLY clean (steal + capacity): a steal-clean
+        # wave-degraded leg is recorded if it ends up best, but the leg
+        # keeps retrying for a clean sample while budget remains
+        if _rate(r) <= steal_rate_max and r.get("geo_capacity_clean", True):
             r["steal_clean"] = True
             return r
     if best is None:
@@ -150,7 +163,9 @@ def run_leg(cpus: int, routes: int, max_load: float, steal_rate_max: float,
             file=sys.stderr, flush=True,
         )
         return None
-    best["steal_clean"] = False
+    # exhausted retries: label honestly (a leg can be steal-clean yet
+    # capacity-dirty — _fully_clean sees both flags independently)
+    best["steal_clean"] = _rate(best) <= steal_rate_max
     return best
 
 
