@@ -66,13 +66,6 @@ def interval_join(
     would generate a huge DESCENDING bucket sequence (F.sequence
     auto-steps -1) that the residual filter then throws away.
     """
-    if bucket_width is None:
-        med = (
-            intervals.select(
-                F.percentile_approx(F.col(end) - F.col(start), 0.5).alias("m")
-            ).first()["m"]
-        )
-        bucket_width = max(int(med or 1), 1)
     iv_all = intervals.filter(F.col(end) > F.col(start))
     residual = (F.col(start) <= F.col(on)) & (F.col(on) < F.col(end))
 
@@ -93,10 +86,18 @@ def interval_join(
         )
         return p.join(iv, "_bucket").filter(residual).drop("_bucket")
 
-    # One tiny driver job sizes the tiers, so the COMMON case (every
-    # interval fits the fine grid) keeps the single-join plan and the
-    # huge-interval broadcast is provably bounded before it is built.
+    # Driver-side sizing, minimal jobs: ONE tier-count aggregate over
+    # the intervals scan (plus the pre-existing median job only when
+    # ``bucket_width`` is defaulted) keeps the COMMON case — every
+    # interval fits the fine grid — on the single-join plan, and makes
+    # the huge-interval broadcast provably bounded before it is built.
+    # Production callers passing an explicit bucket_width pay exactly
+    # one tiny job, the same count a defaulted width always cost.
     huge_span = max_explode_buckets * max_explode_buckets
+    if bucket_width is None:
+        med_expr = F.percentile_approx(F.col(end) - F.col(start), 0.5)
+        med = iv_all.agg(med_expr).first()[0]
+        bucket_width = max(int(med or 1), 1)
     span = _span_fine(start, end, bucket_width)
     n_coarse, n_huge = iv_all.agg(
         F.sum(

@@ -302,6 +302,81 @@ class TestH3Compat:
                 hc.load_tables(None)
 
 
+# --- H3 table extraction (parser only; no h3 checkout in this sandbox) --------
+
+
+class TestH3TableExtraction:
+    FACEIJK_C = """
+    /* icosahedron face centers in lat/lon radians */
+    static const LatLng faceCenterGeo[NUM_ICOSA_FACES] = {
+        {0.803582649718989942, 1.248397419617396099},  // face 0
+    """ + "\n".join(
+        "{%d.1, -%d.2}," % (i, i) for i in range(1, 20)
+    ) + """
+    };
+    static const double faceAxesAzRadsCII[NUM_ICOSA_FACES][3] = {
+    """ + "\n".join(
+        "{%d.01, %d.02, %d.03}, // vertex" % (i, i, i) for i in range(20)
+    ) + """
+    };
+    """
+
+    BASECELLS_C = """
+    static const BaseCellData baseCellData[NUM_BASE_CELLS] = {
+    """ + "\n".join(
+        "{{%d, {1, 0, 0}}, %d, {%d, %d}},  // base cell %d"
+        % (c % 20, 1 if c == 4 else 0, -1 if c != 4 else 0,
+           -1 if c != 4 else 5, c)
+        for c in range(122)
+    ) + """
+    };
+    static const BaseCellRotation faceIjkBaseCells[NUM_ICOSA_FACES][3][3][3] = {
+    """ + "\n".join(
+        "{%d, %d}," % ((n * 7) % 122, n % 6) for n in range(540)
+    ) + """
+    };
+    """
+
+    def test_parses_synthetic_c_layout(self):
+        import sys
+        sys.path.insert(0, "/root/repo/tools")
+        import extract_h3_tables as x
+
+        centers = x.parse_face_center_geo(self.FACEIJK_C)
+        assert len(centers) == 20
+        assert centers[0] == [0.803582649718989942, 1.248397419617396099]
+        az = x.parse_face_axes_az(self.FACEIJK_C)
+        assert az[3] == 3.01  # column 0 only (class II i-axis)
+        cells = x.parse_base_cell_data(self.BASECELLS_C)
+        assert len(cells) == 122
+        assert cells[4]["pent"] == 1 and cells[4]["cw_offset"] == [0, 5]
+        assert cells[0]["cw_offset"] == []  # -1 sentinels dropped
+        lut = x.parse_face_ijk_base_cells(self.BASECELLS_C)
+        assert len(lut) == 540
+        assert lut["0,0,0,0"] == [0, 0] and lut["0,0,0,1"] == [7, 1]
+
+    def test_output_feeds_h3compat_loader(self, tmp_path):
+        import json as _json
+        import sys
+        sys.path.insert(0, "/root/repo/tools")
+        import extract_h3_tables as x
+        from osmptparser_spark.functions import h3compat as hc
+
+        t = {
+            "face_center_geo": x.parse_face_center_geo(self.FACEIJK_C),
+            "face_axes_az_i": x.parse_face_axes_az(self.FACEIJK_C),
+            "base_cells": x.parse_base_cell_data(self.BASECELLS_C),
+            "face_ijk_base_cells": x.parse_face_ijk_base_cells(self.BASECELLS_C),
+        }
+        p = tmp_path / "t.json"
+        p.write_text(_json.dumps(t))
+        try:
+            loaded = hc.load_tables(str(p))
+            assert len(loaded["base_cells"]) == 122
+        finally:
+            hc._tables = None
+
+
 # --- packing shard-range guard ------------------------------------------------
 
 
