@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as _pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -166,12 +168,26 @@ def _q_a3_group_agg(spark, sf_dir):
 
 def _q_x1_topk_window(spark, sf_dir):
     # W7's top-k-per-key pattern on relational data: row_number window.
+    # Round 6: two-phase exact top-k — o_orderpriority has only ~5
+    # distinct values, so the single-window plan sorts ~N/5 rows in 5
+    # tasks (parallelism-starved). Phase 1 takes the top 10 per
+    # (priority, deterministic 64-way salt) in parallel; any global
+    # top-10 row is top-10 of its own salt group (the ordering is a
+    # total order: o_orderkey is unique), so phase 2's original window
+    # over the <= 5*64*10 survivors returns the identical rows/ranks.
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    order = (F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    w_local = Window.partitionBy(
+        "o_orderpriority", F.pmod(F.xxhash64("o_orderkey"), F.lit(64))
+    ).orderBy(*order)
+    cand = (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= 10)
     )
+    w = Window.partitionBy("o_orderpriority").orderBy(*order)
     return (
-        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        cand.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 10)
         .select("o_orderpriority", "o_orderkey", "rn")
     )
@@ -281,26 +297,38 @@ def _q_events_hourly(spark, sf_dir):
 
 def _q_emb_cosine_topk(spark, sf_dir):
     # Similarity search baseline: brute-force cosine top-3 per query
-    # vector (query set = vec_id < 25), JVM-side aggregate/zip_with.
+    # vector (query set = vec_id < 25). Round 6: the per-pair cosine is
+    # ONE vectorized Arrow pandas UDF over the pair batch (float32
+    # products, float64 accumulation — the same precision ladder the
+    # previous zip_with/aggregate expression chain used) instead of
+    # three interpreted higher-order-function folds per pair; ranks are
+    # oracle-identical (verified at every sf) because neighbor margins
+    # dwarf summation-order ulps.
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 25).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(
-        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = (dot / (norm(F.col("qv")) * norm(F.col("cv"))))
+
+    @F.pandas_udf("double")
+    def _cos_batch(qv: _pd.Series, cv: _pd.Series) -> _pd.Series:
+        import numpy as _np
+
+        if len(qv) == 0:
+            return _pd.Series([], dtype="float64")
+        Q = _np.stack(qv.to_numpy())  # float32, as stored
+        C = _np.stack(cv.to_numpy())
+        prod = Q * C  # float32 products == JVM zip_with(a*b) on floats
+        dot = prod.sum(axis=1, dtype=_np.float64)
+        nq = _np.sqrt((Q * Q).sum(axis=1, dtype=_np.float64))
+        nc = _np.sqrt((C * C).sum(axis=1, dtype=_np.float64))
+        return _pd.Series(dot / (nq * nc))
+
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
     return (
         q.crossJoin(c)
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos_sim", cos)
+        .withColumn("cos_sim", _cos_batch(F.col("qv"), F.col("cv")))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("qid", "cid", "rank")

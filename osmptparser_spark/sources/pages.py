@@ -241,6 +241,17 @@ def _recovered_text(from_html: bool):
 def _lines(
     pages: DataFrame, from_html: bool, prefix: str, line_filter=None
 ) -> DataFrame:
+    # Sound page-level prefilter (round 6): a page with ANY matching
+    # line necessarily contains the prefix bytes in its raw payload, so
+    # non-matching pages are dropped BEFORE the decode+split+explode
+    # (checked on the binary html / raw text column — no decode). Each
+    # entity kind's scan now pays full line-splitting only for its own
+    # pages instead of the whole corpus; may only over-select (the
+    # exact per-line startswith below is unchanged).
+    if from_html:
+        pages = pages.filter(F.contains("html", F.lit(prefix.encode("utf-8"))))
+    else:
+        pages = pages.filter(F.contains("text", F.lit(prefix)))
     df = pages.select(
         F.explode(F.split(_recovered_text(from_html), "\n")).alias("line")
     ).filter(F.col("line").startswith(prefix))
