@@ -334,6 +334,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int = 256,
     observation: Observation | None = None,
     materialize: bool = True,
+    verify_broadcast_max_docs: int = 1_000_000,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with EXACT jaccard verification.
 
@@ -415,11 +416,29 @@ def minhash_lsh_pairs(
         docs.join(cand_ids, "doc_id", "left_semi"), "_mh_text", "doc_id", k,
         spread=False,
     ).cache()
+    # Verify-join strategy (round 6, guide §3.1): the candidate set can
+    # be orders of magnitude larger than the candidate-DOC set (every
+    # near-identical template pair collides in most bands), and the
+    # shuffle join ships BOTH shingle arrays per PAIR — measured 3.4 GB
+    # of array bytes through two SMJs for 2.1M pairs / 37k docs at
+    # sf1.0 (18.6 s, the leg's dominant cost). When the per-doc array
+    # table fits comfortably in memory, broadcast it instead: pairs
+    # stream map-side through two broadcast hash joins and the arrays
+    # cross the cluster once per executor, not once per pair. Memory
+    # contract: ~n_cand_docs x avg-shingle-array bytes (~1 KB/doc at
+    # web text sizes -> ~1 GB at the 10^6 default, inside the 8 GB
+    # broadcast cap); above the threshold the plan falls back to the
+    # shuffle join unchanged. The count doubles as the cache
+    # materialization the two consumers need anyway.
+    a_side = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b_side = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    if materialize and sh.count() <= verify_broadcast_max_docs:
+        a_side, b_side = F.broadcast(a_side), F.broadcast(b_side)
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     n_union = F.size("sh_a") + F.size("sh_b") - n_common
     verified = (
-        cands.join(sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        cands.join(a_side, "id_a")
+        .join(b_side, "id_b")
         .withColumn("n_common", n_common.cast("long"))
         .withColumn("n_union", n_union.cast("long"))
         .withColumn("jaccard", F.col("n_common") / F.col("n_union"))

@@ -494,9 +494,16 @@ def point_in_polygon_join(
                 )
 
         cover = polygons.select(poly_id, "ring").mapInPandas(gen_cover, cover_ddl)
+        # shuffle_hash hint (round 6): Catalyst's size estimate for the
+        # opaque point-side encode is tiny, so it BROADCAST the POINT
+        # side (measured in the w6 bench plan: BuildLeft over 10^6
+        # points) — exactly the unbounded-side broadcast this strategy
+        # documents away. The hint pins the documented shape: both
+        # sides shuffled by cell, the bounded cover side built per
+        # partition.
         cands = (
             _with_cell(pts, res, "p_lat", "p_lon", "_cell")
-            .join(cover, "_cell")
+            .join(cover.hint("shuffle_hash"), "_cell")
             .filter(in_bbox)
             .select("point_id", "p_lat", "p_lon", poly_id)
         )
