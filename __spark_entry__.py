@@ -168,26 +168,18 @@ def _q_a3_group_agg(spark, sf_dir):
 
 def _q_x1_topk_window(spark, sf_dir):
     # W7's top-k-per-key pattern on relational data: row_number window.
-    # Round 6: two-phase exact top-k — o_orderpriority has only ~5
-    # distinct values, so the single-window plan sorts ~N/5 rows in 5
-    # tasks (parallelism-starved). Phase 1 takes the top 10 per
-    # (priority, deterministic 64-way salt) in parallel; any global
-    # top-10 row is top-10 of its own salt group (the ordering is a
-    # total order: o_orderkey is unique), so phase 2's original window
-    # over the <= 5*64*10 survivors returns the identical rows/ranks.
+    # Round 6: a two-phase salted top-k (local top-10 per 64-way salt,
+    # then this window over survivors) was implemented, oracle-verified
+    # and MEASURED — no win (2.08 vs 1.60 s min at sf1.0): the leg is
+    # bound by the 1.5M-row scan+exchange, which both shapes pay, and
+    # the extra exchange cancelled the parallel-sort gain. Reverted to
+    # the single-window form.
     o = _t(spark, sf_dir, "orders")
-    order = (F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    w_local = Window.partitionBy(
-        "o_orderpriority", F.pmod(F.xxhash64("o_orderkey"), F.lit(64))
-    ).orderBy(*order)
-    cand = (
-        o.select("o_orderpriority", "o_orderkey", "o_totalprice")
-        .withColumn("_lrn", F.row_number().over(w_local))
-        .filter(F.col("_lrn") <= 10)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(*order)
     return (
-        cand.withColumn("rn", F.row_number().over(w).cast("long"))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 10)
         .select("o_orderpriority", "o_orderkey", "rn")
     )

@@ -268,11 +268,22 @@ def _ids_expr(col):
     )
 
 
+def _json_map(col):
+    """map<string,string> from a canonical-JSON column, with a fast
+    path for the ubiquitous empty object: ``from_json('{}')`` and
+    ``map()`` are the same value, and most entity lines carry no tags,
+    so skipping the Jackson parse for the literal ``{}`` removes the
+    per-line parser cost without changing any result."""
+    return F.when(col == "{}", F.expr("map()")).otherwise(
+        F.from_json(col, "map<string,string>")
+    )
+
+
 def _json_pair(rest):
     """Split 'tags_json|info_json' on the first '}|{' boundary."""
     cut = F.instr(rest, "}|{")
-    tags = F.from_json(F.substring(rest, F.lit(1), cut), "map<string,string>")
-    info = F.from_json(F.substr(rest, cut + F.lit(2)), "map<string,string>")
+    tags = _json_map(F.substring(rest, F.lit(1), cut))
+    info = _json_map(F.substr(rest, cut + F.lit(2)))
     return tags, info
 
 
@@ -285,7 +296,7 @@ def extract_nodes_sql(
         F.get(p, 1).cast("bigint").alias("id"),
         F.get(p, 2).cast("double").alias("lat"),
         F.get(p, 3).cast("double").alias("lon"),
-        F.from_json(F.get(p, 4), "map<string,string>").alias("tags"),
+        _json_map(F.get(p, 4)).alias("tags"),
     )
 
 
