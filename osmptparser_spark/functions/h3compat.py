@@ -253,11 +253,53 @@ def rotate_digits_60(digits, ccw: bool = True):
     return [int(table[d]) for d in digits]
 
 
+def rotate_digits_pent60_ccw(digits):
+    """Pentagon-aware 60-degree ccw index rotation — the published
+    ``_h3RotatePent60ccw``: rotate digit by digit, and the first time a
+    nonzero digit appears, if it landed on the deleted K axis (1),
+    apply one extra plain ccw rotation to the WHOLE path, then keep
+    rotating the remaining digits. Positions before the first nonzero
+    are 0 (fixed point of every rotation), so the 'whole path' extra
+    rotation composes exactly as in the reference loop."""
+    digits = [int(d) for d in digits]
+    found = False
+    for i in range(len(digits)):
+        digits[i] = int(_ROT_CCW[digits[i]])
+        if not found and digits[i] != 0:
+            found = True
+            if digits[i] == 1:  # leading digit fell on the deleted K axis
+                digits = rotate_digits_60(digits, ccw=True)
+    return digits
+
+
 def leading_nonzero_digit(digits) -> int:
     for d in digits:
         if d:
             return int(d)
     return 0
+
+
+def apply_base_cell_rotations(
+    digits, pent: bool, ccw_rots: int, cw_offset_face: bool
+):
+    """Digit-path adjustment after the base-cell lookup — the exact
+    ``_faceIjkToH3`` tail. For pentagon base cells the leading-K-digit
+    fix runs FIRST (on the unrotated path; cw when the home face is one
+    of the base cell's cw-offset faces, ccw otherwise) and the
+    ``ccw_rots`` rotations then use the pentagon-aware
+    :func:`rotate_digits_pent60_ccw`; hexagon base cells use plain ccw
+    rotations. (Round 6: previously the fix ran after plain rotations —
+    the ADVICE r5 pentagon-order divergence; pinned by
+    tests/test_round6.py::test_pentagon_rotation_order.)"""
+    if pent:
+        if leading_nonzero_digit(digits) == 1:
+            digits = rotate_digits_60(digits, ccw=not cw_offset_face)
+        for _ in range(ccw_rots % 6):
+            digits = rotate_digits_pent60_ccw(digits)
+    else:
+        for _ in range(ccw_rots % 6):
+            digits = rotate_digits_60(digits, ccw=True)
+    return digits
 
 
 # --- table-driven full encode --------------------------------------------------
@@ -318,6 +360,14 @@ def latlng_to_cell(lat_deg: float, lon_deg: float, res: int) -> int:
     i-axis azimuth (Class III grids counter-rotated by asin(sqrt(3/28)))
     -> scale by sqrt(7)^res -> IJK rounding -> digit peel to res 0 ->
     base cell + rotation lookup -> pentagon leading-digit rotation.
+
+    Boundary caveat: the IJK rounding here is nearest-hex-center cube
+    rounding, which can break EXACT cell-boundary ties differently
+    from the C implementation's fraction-walk — a point lying exactly
+    on an edge between two cells may encode to the adjacent cell id.
+    Off-boundary points (any point not within float-ulp of an edge)
+    are unaffected; joins against externally H3-indexed data are
+    bit-exact away from edges but not guaranteed on them.
     """
     if _tables is None:
         load_tables()
@@ -355,12 +405,13 @@ def latlng_to_cell(lat_deg: float, lon_deg: float, res: int) -> int:
             "point projects beyond this face's base-cell overlap"
         )
     base_cell, ccw_rots = entry
-    for _ in range(ccw_rots % 6):
-        digits = rotate_digits_60(digits, ccw=True)
     bc = t["base_cells"][base_cell]
-    if bc["pent"] and leading_nonzero_digit(digits) == 1:  # K axis deleted
-        ccw = face not in bc.get("cw_offset", [])
-        digits = rotate_digits_60(digits, ccw=ccw)
+    digits = apply_base_cell_rotations(
+        digits,
+        pent=bool(bc["pent"]),
+        ccw_rots=ccw_rots,
+        cw_offset_face=face in bc.get("cw_offset", []),
+    )
     return pack_cell(base_cell, res, digits)
 
 
